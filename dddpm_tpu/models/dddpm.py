@@ -1,0 +1,156 @@
+"""Downsampled DDPM: the diffusion chain runs in a conv-downsampled
+latent space, with learned down/upsample networks around it.
+
+Behavioural parity with /root/reference/models/diffusion/dddpm.py:
+- rescaled_downsample / rescaled_upsample with optional tanh squash
+  (force_latent);
+- recon loss gated to timesteps t < t_rec_max;
+- the default autoencoder variant computes the recon loss from z
+  directly and stops the gradient of z before the DDPM loss
+  (dddpm.py:155-177);
+- sample()/reconstruct() return both image- and latent-space tensors.
+
+This is the whole 29-266x sampling speedup: T UNet evaluations run at
+(H/2^n)^2 spatial size, followed by a single upsample.
+"""
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from dddpm_tpu.models.ddpm import GaussianDiffusion
+from dddpm_tpu.models.schedule import DiffusionSchedule
+from dddpm_tpu.ops import math as dmath
+
+
+class DownsampleDiffusion(GaussianDiffusion):
+    """dDDPM: DDPM in z-space + down/up sampler networks.
+
+    Args (beyond GaussianDiffusion):
+      down_fn: (params, x, rng, train) -> z (pre-squash).
+      up_fn:   (params, z, rng, train) -> x (pre-squash).
+      x_shape: (H, W, C) of image space.
+      sample_shape: (H/2^n, W/2^n, unet_in) of latent space.
+      t_rec_max: recon loss only applies where t < t_rec_max (-1 -> T-1).
+      force_latent: tanh-squash both spaces into [-1, 1].
+    """
+
+    def __init__(
+        self,
+        schedule: DiffusionSchedule,
+        eps_fn: Callable,
+        down_fn: Callable,
+        up_fn: Callable,
+        x_shape: Tuple[int, int, int],
+        sample_shape: Tuple[int, int, int],
+        loss_type: str = "simple",
+        loss_flat: str = "sum",
+        t_rec_max: int = 100,
+        force_latent: bool = True,
+    ):
+        super().__init__(schedule, eps_fn, sample_shape, loss_type, loss_flat)
+        self.down_fn = down_fn
+        self.up_fn = up_fn
+        self.x_shape = tuple(x_shape)
+        self.t_rec_max = int(self.timesteps - 1) if t_rec_max == -1 else t_rec_max
+        self.force_latent = force_latent
+
+    # ------------------------------------------------------------- resample
+
+    def rescaled_downsample(self, params, x, rng=None, train: bool = False):
+        z = self.down_fn(params, x, rng, train)
+        assert z.shape[1:] == self.sample_shape, (z.shape, self.sample_shape)
+        if self.force_latent:
+            z = jnp.tanh(z)
+        return z
+
+    def rescaled_upsample(self, params, z, rng=None, train: bool = False):
+        x = self.up_fn(params, z, rng, train)
+        assert x.shape[1:] == self.x_shape, (x.shape, self.x_shape)
+        if self.force_latent:
+            x = jnp.tanh(x)
+        return x
+
+    # ------------------------------------------------------------- sampling
+
+    def sample(self, params, rng, batch_size: int = 16,
+               early_stop: Optional[int] = None):
+        """Latent-space reverse chain, then one upsample to image space."""
+        z_sample = self.p_sample_loop(
+            params, rng, (batch_size, *self.sample_shape), early_stop
+        )
+        x_sample = self.rescaled_upsample(params, z_sample)
+        return x_sample, z_sample
+
+    def reconstruct(self, params, rng, x, n: int):
+        """(x_recon, z_recon) at n linearly spaced noise scales."""
+        x = x[:n]
+        t = jnp.linspace(0, self.timesteps - 1, n).astype(jnp.int32)
+        z = self.rescaled_downsample(params, x)
+        eps = jax.random.normal(rng, z.shape, z.dtype)
+        z_t = self.q_sample(z, t, eps)
+        eps_hat = self.eps_fn(params, z_t, t, None, False)
+        z_recon = self.predict_x_from_eps(z_t, t, eps_hat, clip=False)
+        x_recon = self.rescaled_upsample(params, z_recon)
+        return x_recon, z_recon
+
+    # --------------------------------------------------------------- losses
+
+    def loss_recon(self, params, x, z_hat, t, rng=None, train: bool = False):
+        """Per-element image reconstruction loss, gated to t < t_rec_max."""
+        x_hat = self.rescaled_upsample(params, z_hat, rng, train)
+        loss = self.flatten_loss(dmath.l2_loss(x, x_hat))
+        return jnp.where(t < self.t_rec_max, loss, jnp.zeros_like(loss))
+
+    def losses(self, params, rng, x, t, train: bool = True):
+        """Joint objective: latent DDPM loss + gated recon loss."""
+        rng_eps, rng_d, rng_u, rng_unet = jax.random.split(rng, 4)
+        z = self.rescaled_downsample(params, x, rng_d, train)
+
+        eps = jax.random.normal(rng_eps, z.shape, z.dtype)
+        z_t = self.q_sample(z, t, eps)
+        eps_hat = self.eps_fn(params, z_t, t, rng_unet, train)
+        l_ddpm = self.loss_ddpm(eps, eps_hat, t)
+
+        z_hat = self.predict_x_from_eps(z_t, t, eps_hat, clip=False)
+        l_rec = self.loss_recon(params, x, z_hat, t, rng_u, train)
+
+        obj = l_ddpm + l_rec.mean()
+        return obj, {"latent": l_ddpm, "recon": l_rec.mean()}
+
+    def loss_fn(self, params, rng, x, train: bool = True):
+        rng_t, rng_l = jax.random.split(rng)
+        t = self.t_sample(rng_t, x.shape[0])
+        obj, parts = self.losses(params, rng_l, x, t, train)
+        return obj, {"train_obj": obj, "train_latent": parts["latent"],
+                     "train_recon": parts["recon"]}
+
+    def test_losses(self, params, rng, x) -> Dict[str, jnp.ndarray]:
+        """Full-chain VLB computed in z-space (reference dddpm.py:145-148)."""
+        z = self.rescaled_downsample(params, x)
+        return super().test_losses(params, rng, z)
+
+
+class DownsampleDiffusionAutoencoder(DownsampleDiffusion):
+    """Default dDDPM variant: recon loss as a pure autoencoder pass,
+    z detached before the DDPM loss (reference dddpm.py:151-177)."""
+
+    def losses(self, params, rng, x, t, train: bool = True):
+        rng_eps, rng_d, rng_u, rng_unet = jax.random.split(rng, 4)
+        z = self.rescaled_downsample(params, x, rng_d, train)
+
+        # autoencoder reconstruction straight from z
+        l_rec = self.loss_recon(params, x, z, t, rng_u, train)
+
+        # DDPM loss on detached latents
+        z = lax.stop_gradient(z)
+        eps = jax.random.normal(rng_eps, z.shape, z.dtype)
+        z_t = self.q_sample(z, t, eps)
+        eps_hat = self.eps_fn(params, z_t, t, rng_unet, train)
+        l_ddpm = self.loss_ddpm(eps, eps_hat, t)
+
+        obj = l_ddpm + l_rec.mean()
+        return obj, {"latent": l_ddpm, "recon": l_rec.mean()}

@@ -1,0 +1,204 @@
+"""Down/upsampling networks for dDDPM (flax.linen, NHWC).
+
+Behavioural parity with /root/reference/models/downsampled/convblocks.py
+and wrapper.py: three modes — 'deterministic' (bicubic interpolation),
+'convolutional' (stacked strided convs / transpose convs) and
+'convolutional_res' (pre-activation bottleneck ConvResNet, the default).
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from dddpm_tpu.ops.math import mish
+from dddpm_tpu.models.init import (
+    bias_init_for,
+    conv_kernel_init,
+    conv_transpose_kernel_init,
+)
+
+
+def _conv(features, in_features, kernel, stride=1, pad=None, dtype=jnp.float32,
+          name=None):
+    k = kernel
+    if pad is None:
+        pad = (k - 1) // 2
+    return nn.Conv(
+        features,
+        kernel_size=(k, k),
+        strides=(stride, stride),
+        padding=((pad, pad), (pad, pad)),
+        kernel_init=conv_kernel_init,
+        bias_init=bias_init_for(k * k * in_features),
+        dtype=dtype,
+        name=name,
+    )
+
+
+class Interpolate(nn.Module):
+    """Deterministic bicubic resize to a fixed spatial size.
+
+    The reference uses torch F.interpolate(mode='bicubic',
+    align_corners=True); jax.image.resize uses half-pixel centers — the
+    standard TPU-native resize. Distribution-level equivalent for the
+    'deterministic' mode's purpose.
+    """
+
+    size: Tuple[int, int]
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        b, _, _, c = x.shape
+        return jax.image.resize(x, (b, *self.size, c), method="cubic")
+
+
+class SimpleDownConv(nn.Module):
+    """n_downsamples stacked strided 3x3 convs: in_channels -> dim."""
+
+    dim: int = 8
+    in_channels: int = 3
+    n_downsamples: int = 1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        dims = [self.in_channels] + [self.dim] * self.n_downsamples
+        for d_in, d_out in zip(dims[:-1], dims[1:]):
+            x = _conv(d_out, d_in, 3, stride=2, dtype=self.dtype)(x)
+        return x
+
+
+class SimpleUpConv(nn.Module):
+    """n_downsamples stacked 4x4/2 transpose convs: dim -> in_channels."""
+
+    dim: int = 8
+    in_channels: int = 3
+    n_downsamples: int = 1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        dims = [self.in_channels] + [self.dim] * self.n_downsamples
+        # reference iterates in_out reversed: (dim->dim)*, dim->in_channels
+        io = list(zip(dims[:-1], dims[1:]))[::-1]
+        for d_out, d_in in io:
+            x = nn.ConvTranspose(
+                d_out,
+                kernel_size=(4, 4),
+                strides=(2, 2),
+                padding="SAME",
+                kernel_init=conv_transpose_kernel_init,
+                bias_init=bias_init_for(16 * d_out),
+                dtype=self.dtype,
+            )(x)
+        return x
+
+
+class ConvResBlock(nn.Module):
+    """Pre-activation 1x1 -> 3x3 -> 3x3 -> 1x1 bottleneck with optional
+    residual and 2x up/down scaling (nearest-interp / avg-pool)."""
+
+    dim: int
+    in_channels: int
+    out_channels: int
+    upsample: bool = False
+    downsample: bool = False
+    dropout: float = 0.0
+    residual: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        assert not (self.upsample and self.downsample)
+        h = _conv(self.dim, self.in_channels, 1, dtype=self.dtype)(mish(x))
+        h = _conv(self.dim, self.dim, 3, dtype=self.dtype)(mish(h))
+        h = _conv(self.dim, self.dim, 3, dtype=self.dtype)(mish(h))
+        h = _conv(self.out_channels, self.dim, 1, dtype=self.dtype)(mish(h))
+        # Dropout2d: drop whole channel maps (broadcast over H, W)
+        h = nn.Dropout(rate=self.dropout, broadcast_dims=(1, 2))(
+            h, deterministic=deterministic
+        )
+        out = x + h if self.residual else h
+        if self.upsample:
+            b, hh, ww, c = out.shape
+            out = jax.image.resize(out, (b, hh * 2, ww * 2, c), method="nearest")
+        elif self.downsample:
+            out = nn.avg_pool(out, (2, 2), strides=(2, 2))
+        return out
+
+
+class ConvResNet(nn.Module):
+    """1x1 explode -> n_downsamples x [scaling block + (n_blocks-1)
+    plain blocks] -> 1x1 condense."""
+
+    dim: int
+    in_channels: int
+    out_channels: int
+    n_downsamples: int = 1
+    upsample: bool = False
+    dropout: float = 0.0
+    n_blocks: int = 1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        down = not self.upsample
+        x = _conv(self.dim, self.in_channels, 1, dtype=self.dtype)(x)
+        for _ in range(self.n_downsamples):
+            x = ConvResBlock(
+                self.dim // 2, self.dim, self.dim,
+                upsample=self.upsample, downsample=down,
+                dropout=self.dropout, residual=True, dtype=self.dtype,
+            )(x, deterministic)
+            for _ in range(self.n_blocks - 1):
+                x = ConvResBlock(
+                    self.dim // 2, self.dim, self.dim,
+                    dropout=self.dropout, residual=True, dtype=self.dtype,
+                )(x, deterministic)
+        return _conv(self.out_channels, self.dim, 1, dtype=self.dtype)(x)
+
+
+def get_downsampling(config: dict, x_shape: Tuple[int, int, int],
+                     dtype=jnp.float32) -> nn.Module:
+    """Factory: x (H, W, C) -> z (H/2^n, W/2^n, unet_in)."""
+    h, w, c = x_shape
+    assert h == w
+    mode = config["d_mode"]
+    n_down = config["n_downsamples"]
+    if mode == "deterministic":
+        scale = 2 ** n_down
+        size = (h // scale, w // scale)
+        assert size[0] % 2 == 0, "downsampled dims should be even"
+        return Interpolate(size=size)
+    if mode == "convolutional":
+        return SimpleDownConv(config["unet_in"], c, n_down, dtype=dtype)
+    if mode == "convolutional_res":
+        return ConvResNet(
+            config["d_chans"], c, config["unet_in"], n_down,
+            upsample=False, dropout=config["d_dropout"],
+            n_blocks=config["d_n_blocks"], dtype=dtype,
+        )
+    raise NotImplementedError(f'Downsampling method for "{mode}" not implemented!')
+
+
+def get_upsampling(config: dict, x_shape: Tuple[int, int, int],
+                   dtype=jnp.float32) -> nn.Module:
+    """Factory: z (H/2^n, W/2^n, unet_in) -> x (H, W, C)."""
+    h, w, c = x_shape
+    assert h == w
+    mode = config["u_mode"]
+    n_down = config["n_downsamples"]
+    if mode == "deterministic":
+        return Interpolate(size=(h, w))
+    if mode == "convolutional":
+        return SimpleUpConv(config["unet_in"], c, n_down, dtype=dtype)
+    if mode == "convolutional_res":
+        return ConvResNet(
+            config["d_chans"], config["unet_in"], c, n_down,
+            upsample=True, dropout=config["d_dropout"],
+            n_blocks=config["u_n_blocks"], dtype=dtype,
+        )
+    raise NotImplementedError(f'Upsampling method for "{mode}" not implemented!')

@@ -1,0 +1,100 @@
+"""The UNet epsilon-predictor (flax.linen, NHWC).
+
+Structural parity with /root/reference/models/unet/unet.py:10-104
+(lucidrains-style 4-level UNet with linear attention at every
+resolution), including the reference's quirks:
+
+- the expansive path has len(dim_mults)-1 levels, so the first (highest
+  resolution) skip connection is computed but never consumed;
+- all ups levels end in an Upsample (is_last is never true there);
+- only the contracting path's ResnetBlocks receive dropout.
+
+TPU-first design: channels-last, one static Python loop per level
+(unrolled at trace time — static shapes for XLA), bf16 compute with f32
+params/GroupNorm statistics, time embedding in f32.
+"""
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from dddpm_tpu.models.blocks import (
+    Block,
+    Downsample,
+    PreNormLinearAttention,
+    ResnetBlock,
+    TimeMLP,
+    Upsample,
+    conv1x1,
+)
+
+
+class Unet(nn.Module):
+    """UNet(dim, dim_mults) predicting eps(x_t, t), same shape as x_t."""
+
+    dim: int = 128
+    in_channels: int = 3
+    dim_mults: Sequence[int] = (1, 2, 2, 2)
+    dropout: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @classmethod
+    def from_config(cls, config: dict) -> "Unet":
+        dtype = jnp.bfloat16 if config.get("compute_dtype") == "bfloat16" else jnp.float32
+        return cls(
+            dim=config["unet_chan"],
+            in_channels=config["unet_in"],
+            dim_mults=tuple(config["unet_dims"]),
+            dropout=config["unet_dropout"],
+            dtype=dtype,
+        )
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, t: jnp.ndarray,
+                 deterministic: bool = True) -> jnp.ndarray:
+        """x: (B, H, W, C) in [-1, 1]; t: (B,) int timesteps."""
+        dims = [self.in_channels] + [self.dim * m for m in self.dim_mults]
+        in_out: Tuple[Tuple[int, int], ...] = tuple(zip(dims[:-1], dims[1:]))
+        num_resolutions = len(in_out)
+
+        t_emb = TimeMLP(self.dim)(t)
+
+        orig_dtype = x.dtype
+        x = x.astype(self.dtype)
+
+        # contracting path
+        skips = []
+        for ind, (dim_in, dim_out) in enumerate(in_out):
+            is_last = ind >= num_resolutions - 1
+            x = ResnetBlock(dim_in, dim_out, dropout=self.dropout,
+                            dtype=self.dtype)(x, t_emb, deterministic)
+            x = ResnetBlock(dim_out, dim_out, dropout=self.dropout,
+                            dtype=self.dtype)(x, t_emb, deterministic)
+            x = PreNormLinearAttention(dim_out, dtype=self.dtype)(x)
+            skips.append(x)
+            if not is_last:
+                x = Downsample(dim_out, dtype=self.dtype)(x)
+
+        # bottom
+        mid_dim = dims[-1]
+        x = ResnetBlock(mid_dim, mid_dim, dtype=self.dtype)(x, t_emb, deterministic)
+        x = PreNormLinearAttention(mid_dim, dtype=self.dtype)(x)
+        x = ResnetBlock(mid_dim, mid_dim, dtype=self.dtype)(x, t_emb, deterministic)
+
+        # expansive path (reference iterates reversed(in_out[1:]))
+        for dim_in, dim_out in reversed(in_out[1:]):
+            x = jnp.concatenate([x, skips.pop().astype(self.dtype)], axis=-1)
+            x = ResnetBlock(dim_out * 2, dim_in, dtype=self.dtype)(x, t_emb,
+                                                                   deterministic)
+            x = ResnetBlock(dim_in, dim_in, dtype=self.dtype)(x, t_emb,
+                                                              deterministic)
+            x = PreNormLinearAttention(dim_in, dtype=self.dtype)(x)
+            x = Upsample(dim_in, dtype=self.dtype)(x)
+
+        # final Block + 1x1 projection back to input channels
+        x = Block(self.dim, self.dim, dtype=self.dtype)(x)
+        x = conv1x1(self.in_channels, self.dim, dtype=self.dtype,
+                    name="final_conv")(x)
+        return x.astype(orig_dtype)
