@@ -1,0 +1,30 @@
+"""FID/sFID/precision/recall between two saved npy image batches
+(reference compare_datasets.py — the real-vs-real FID sanity check).
+
+    python compare_datasets.py --batch1 a.npy --batch2 b.npy \
+        [--inception-weights npz]
+"""
+import argparse
+import json
+
+import numpy as np
+
+from dddpm_tpu.evaluation.evaluator import Evaluator
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--batch1", required=True)
+    p.add_argument("--batch2", required=True)
+    p.add_argument("--inception-weights", default=None)
+    args = p.parse_args()
+
+    b1 = np.load(args.batch1)
+    b2 = np.load(args.batch2)
+    evaluator = Evaluator(args.inception_weights)
+    metrics = evaluator.evaluate(b1, b2)
+    print(json.dumps(metrics, indent=2))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,69 @@
+"""The end-to-end sample evaluator: FID, sFID, IS, precision, recall.
+
+TPU-native replacement for the reference's TF1 Evaluator
+(utils/evaluator.py:85-156): activations come from the flax InceptionV3
+(jitted, batched), statistics/Frechet stay host-side float64, precision/
+recall run as jitted pairwise-distance tiles.  Accepts the reference's
+npy artifact format: (n_batches, B, H, W, C) or (N, H, W, C), values in
+[0, 255].
+"""
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import numpy as np
+
+from dddpm_tpu.evaluation.fid import (
+    FIDStatistics,
+    compute_inception_score,
+)
+from dddpm_tpu.evaluation.inception import FeatureExtractor
+from dddpm_tpu.evaluation.prec_recall import compute_prec_recall
+
+
+def flatten_batches(arr: np.ndarray) -> np.ndarray:
+    """(n_batches, B, H, W, C) -> (N, H, W, C); passthrough for 4-D."""
+    arr = np.asarray(arr)
+    if arr.ndim == 5:
+        arr = arr.reshape(-1, *arr.shape[2:])
+    assert arr.ndim == 4, f"expected image batch array, got {arr.shape}"
+    return arr
+
+
+class Evaluator:
+    """Computes all sample-quality metrics against a reference batch."""
+
+    def __init__(self, weights_npz: Optional[str] = None, batch_size: int = 64):
+        self.extractor = FeatureExtractor(weights_npz, batch_size)
+
+    def read_activations(self, images: np.ndarray) -> Dict[str, np.ndarray]:
+        return self.extractor(flatten_batches(images))
+
+    def compute_statistics(self, acts: Dict[str, np.ndarray]):
+        return (FIDStatistics.from_activations(acts["pool3"]),
+                FIDStatistics.from_activations(acts["spatial"]))
+
+    def evaluate(self, reference: np.ndarray, samples: np.ndarray,
+                 prec_recall_subset: int = 10000) -> Dict[str, float]:
+        ref_acts = self.read_activations(reference)
+        sample_acts = self.read_activations(samples)
+
+        ref_stats, ref_stats_spatial = self.compute_statistics(ref_acts)
+        stats, stats_spatial = self.compute_statistics(sample_acts)
+
+        is_score = compute_inception_score(sample_acts["softmax"])
+        fid = stats.frechet_distance(ref_stats)
+        sfid = stats_spatial.frechet_distance(ref_stats_spatial)
+        # subsample for the O(N^2) manifold estimate, like common practice
+        prec, recall = compute_prec_recall(
+            ref_acts["pool3"][:prec_recall_subset],
+            sample_acts["pool3"][:prec_recall_subset])
+        return {
+            "is": is_score,
+            "fid": fid,
+            "sfid": sfid,
+            "precision": prec,
+            "recall": recall,
+            "inception_weights": ("real" if self.extractor.has_real_weights
+                                  else "random-init"),
+        }

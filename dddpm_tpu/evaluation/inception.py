@@ -1,0 +1,234 @@
+"""InceptionV3 feature extractor (flax, NHWC) for FID / sFID / IS.
+
+TPU-native replacement for the reference's frozen TF1 InceptionV3 graph
+(utils/evaluator.py:17-27,526-567): the same TF-slim InceptionV3
+topology rebuilt in flax.linen, exposing
+
+- ``pool3``: 2048-d global-average-pool features (FID),
+- ``spatial``: first 7 channels of the Mixed_6 tower input, flattened
+  (sFID, matching the reference's 'mixed_6/conv' truncation),
+- ``softmax``: 1008-way class probabilities (IS).
+
+BatchNorm is folded: every conv is kernel+bias, so real weights exported
+from the OpenAI .pb (conv kernels with folded BN) can be loaded from an
+npz via ``load_params_npz``.  Without a weights file the extractor runs
+with deterministic random init: all metric MACHINERY (statistics,
+Frechet distance, kNN manifolds) is exercised end-to-end, but absolute
+FID values are only comparable to the reference when real weights are
+supplied (documented limitation: the image has zero egress).
+"""
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+INCEPTION_SIZE = 299
+N_CLASSES = 1008  # TF-slim inception class count (incl. background)
+
+
+class ConvBN(nn.Module):
+    """Conv (no bias) + folded-BN affine + ReLU == conv with bias here."""
+
+    features: int
+    kernel: Tuple[int, int]
+    strides: Tuple[int, int] = (1, 1)
+    padding: str = "SAME"
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Conv(self.features, self.kernel, self.strides, self.padding,
+                    use_bias=True, dtype=x.dtype)(x)
+        return nn.relu(x)
+
+
+class MixedA(nn.Module):
+    """35x35 block (Mixed_5b/5c/5d)."""
+
+    pool_features: int
+
+    @nn.compact
+    def __call__(self, x):
+        b0 = ConvBN(64, (1, 1))(x)
+        b1 = ConvBN(48, (1, 1))(x)
+        b1 = ConvBN(64, (5, 5))(b1)
+        b2 = ConvBN(64, (1, 1))(x)
+        b2 = ConvBN(96, (3, 3))(b2)
+        b2 = ConvBN(96, (3, 3))(b2)
+        b3 = nn.avg_pool(x, (3, 3), (1, 1), "SAME")
+        b3 = ConvBN(self.pool_features, (1, 1))(b3)
+        return jnp.concatenate([b0, b1, b2, b3], axis=-1)
+
+
+class ReductionA(nn.Module):
+    """35x35 -> 17x17 (Mixed_6a)."""
+
+    @nn.compact
+    def __call__(self, x):
+        b0 = ConvBN(384, (3, 3), (2, 2), "VALID")(x)
+        b1 = ConvBN(64, (1, 1))(x)
+        b1 = ConvBN(96, (3, 3))(b1)
+        b1 = ConvBN(96, (3, 3), (2, 2), "VALID")(b1)
+        b2 = nn.max_pool(x, (3, 3), (2, 2), "VALID")
+        return jnp.concatenate([b0, b1, b2], axis=-1)
+
+
+class MixedB(nn.Module):
+    """17x17 block with 7x1/1x7 factorization (Mixed_6b..6e)."""
+
+    c7: int
+
+    @nn.compact
+    def __call__(self, x):
+        c7 = self.c7
+        b0 = ConvBN(192, (1, 1))(x)
+        b1 = ConvBN(c7, (1, 1))(x)
+        b1 = ConvBN(c7, (1, 7))(b1)
+        b1 = ConvBN(192, (7, 1))(b1)
+        b2 = ConvBN(c7, (1, 1))(x)
+        b2 = ConvBN(c7, (7, 1))(b2)
+        b2 = ConvBN(c7, (1, 7))(b2)
+        b2 = ConvBN(c7, (7, 1))(b2)
+        b2 = ConvBN(192, (1, 7))(b2)
+        b3 = nn.avg_pool(x, (3, 3), (1, 1), "SAME")
+        b3 = ConvBN(192, (1, 1))(b3)
+        return jnp.concatenate([b0, b1, b2, b3], axis=-1)
+
+
+class ReductionB(nn.Module):
+    """17x17 -> 8x8 (Mixed_7a)."""
+
+    @nn.compact
+    def __call__(self, x):
+        b0 = ConvBN(192, (1, 1))(x)
+        b0 = ConvBN(320, (3, 3), (2, 2), "VALID")(b0)
+        b1 = ConvBN(192, (1, 1))(x)
+        b1 = ConvBN(192, (1, 7))(b1)
+        b1 = ConvBN(192, (7, 1))(b1)
+        b1 = ConvBN(192, (3, 3), (2, 2), "VALID")(b1)
+        b2 = nn.max_pool(x, (3, 3), (2, 2), "VALID")
+        return jnp.concatenate([b0, b1, b2], axis=-1)
+
+
+class MixedC(nn.Module):
+    """8x8 block (Mixed_7b/7c)."""
+
+    @nn.compact
+    def __call__(self, x):
+        b0 = ConvBN(320, (1, 1))(x)
+        b1 = ConvBN(384, (1, 1))(x)
+        b1 = jnp.concatenate([ConvBN(384, (1, 3))(b1),
+                              ConvBN(384, (3, 1))(b1)], axis=-1)
+        b2 = ConvBN(448, (1, 1))(x)
+        b2 = ConvBN(384, (3, 3))(b2)
+        b2 = jnp.concatenate([ConvBN(384, (1, 3))(b2),
+                              ConvBN(384, (3, 1))(b2)], axis=-1)
+        b3 = nn.avg_pool(x, (3, 3), (1, 1), "SAME")
+        b3 = ConvBN(192, (1, 1))(b3)
+        return jnp.concatenate([b0, b1, b2, b3], axis=-1)
+
+
+class InceptionV3(nn.Module):
+    """Full TF-slim InceptionV3 trunk returning FID/sFID/IS heads."""
+
+    spatial_channels: int = 7
+
+    @nn.compact
+    def __call__(self, x) -> Dict[str, jnp.ndarray]:
+        """x: (B, 299, 299, 3) scaled to [-1, 1]."""
+        x = ConvBN(32, (3, 3), (2, 2), "VALID")(x)
+        x = ConvBN(32, (3, 3), (1, 1), "VALID")(x)
+        x = ConvBN(64, (3, 3))(x)
+        x = nn.max_pool(x, (3, 3), (2, 2), "VALID")
+        x = ConvBN(80, (1, 1), (1, 1), "VALID")(x)
+        x = ConvBN(192, (3, 3), (1, 1), "VALID")(x)
+        x = nn.max_pool(x, (3, 3), (2, 2), "VALID")
+
+        x = MixedA(32)(x)
+        x = MixedA(64)(x)
+        x = MixedA(64)(x)
+
+        x = ReductionA()(x)
+        # sFID spatial features: first channels of the 17x17 tower input
+        spatial = x[..., : self.spatial_channels]
+        spatial = spatial.reshape(x.shape[0], -1)
+
+        x = MixedB(128)(x)
+        x = MixedB(160)(x)
+        x = MixedB(160)(x)
+        x = MixedB(192)(x)
+
+        x = ReductionB()(x)
+        x = MixedC()(x)
+        x = MixedC()(x)
+
+        pool3 = x.mean(axis=(1, 2))  # (B, 2048)
+        logits = nn.Dense(N_CLASSES, dtype=x.dtype)(pool3)
+        return {"pool3": pool3, "spatial": spatial,
+                "softmax": jax.nn.softmax(logits, axis=-1)}
+
+
+class FeatureExtractor:
+    """Jitted batched feature extraction from uint8 [0,255] NHWC images."""
+
+    def __init__(self, weights_npz: Optional[str] = None, batch_size: int = 64):
+        self.model = InceptionV3()
+        self.batch_size = batch_size
+        rng = jax.random.PRNGKey(42)
+        dummy = jnp.zeros((1, INCEPTION_SIZE, INCEPTION_SIZE, 3))
+        self.params = self.model.init(rng, dummy)
+        self.has_real_weights = False
+        weights_npz = weights_npz or os.environ.get("INCEPTION_WEIGHTS_NPZ")
+        if weights_npz and os.path.exists(weights_npz):
+            self.params = load_params_npz(weights_npz, self.params)
+            self.has_real_weights = True
+
+        @jax.jit
+        def _features(params, x_uint8):
+            x = x_uint8.astype(jnp.float32)
+            x = jax.image.resize(
+                x, (x.shape[0], INCEPTION_SIZE, INCEPTION_SIZE, 3), "bilinear")
+            x = x / 127.5 - 1.0
+            return self.model.apply(params, x)
+
+        self._features = _features
+
+    def __call__(self, images: np.ndarray) -> Dict[str, np.ndarray]:
+        """images: (N, H, W, C) float or uint8 in [0, 255]."""
+        if images.shape[-1] == 1:
+            images = np.repeat(images, 3, axis=-1)
+        outs = {"pool3": [], "spatial": [], "softmax": []}
+        bs = self.batch_size
+        n = len(images)
+        pad = (-n) % bs
+        if pad:
+            images = np.concatenate([images, images[:pad]], axis=0)
+        for i in range(0, len(images), bs):
+            batch = jnp.asarray(images[i:i + bs])
+            res = self._features(self.params, batch)
+            for k in outs:
+                outs[k].append(np.asarray(res[k]))
+        return {k: np.concatenate(v)[:n] for k, v in outs.items()}
+
+
+def load_params_npz(path: str, params_template) -> Dict:
+    """Load folded-BN conv weights from an npz keyed by flax param paths
+    like 'params/ConvBN_0/Conv_0/kernel'."""
+    data = np.load(path)
+    flat = jax.tree_util.tree_flatten_with_path(params_template)
+    leaves, treedef = jax.tree_util.tree_flatten(params_template)
+    out = []
+    for (path_keys, leaf) in jax.tree_util.tree_flatten_with_path(
+            params_template)[0]:
+        key = "/".join(getattr(p, "key", str(p)) for p in path_keys)
+        if key in data:
+            arr = np.asarray(data[key])
+            assert arr.shape == leaf.shape, (key, arr.shape, leaf.shape)
+            out.append(jnp.asarray(arr))
+        else:
+            out.append(leaf)
+    return jax.tree_util.tree_unflatten(treedef, out)

@@ -1,0 +1,82 @@
+"""Improved precision & recall via kNN manifold estimation.
+
+Reference: ManifoldEstimator + DistanceBlock in utils/evaluator.py:
+159-383 (Kynkäänniemi et al.).  The pairwise-distance tiles there are
+already matmuls — here they run as one jitted XLA program per tile pair
+(|a|^2 + |b|^2 - 2ab on the MXU), replacing the reference's fp16 TF
+graph + ThreadPool row partitioning.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+@jax.jit
+def _pairwise_sq_dists(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Squared L2 distances between row batches (MXU matmul form)."""
+    a = a.astype(jnp.float32)
+    b = b.astype(jnp.float32)
+    a2 = jnp.sum(a * a, axis=1, keepdims=True)
+    b2 = jnp.sum(b * b, axis=1, keepdims=True)
+    d = a2 - 2.0 * (a @ b.T) + b2.T
+    return jnp.maximum(d, 0.0)
+
+
+class ManifoldEstimator:
+    """kNN-radius manifold of a feature set; membership tests for probes."""
+
+    def __init__(self, features: np.ndarray, nhood_size: int = 3,
+                 row_batch: int = 2048, col_batch: int = 2048):
+        self.features = np.ascontiguousarray(features, np.float32)
+        self.nhood_size = nhood_size
+        self.row_batch = row_batch
+        self.col_batch = col_batch
+        self.radii = self._compute_radii()
+
+    def _compute_radii(self) -> np.ndarray:
+        n = len(self.features)
+        k = self.nhood_size
+        radii = np.zeros(n, np.float32)
+        for r0 in range(0, n, self.row_batch):
+            rows = self.features[r0:r0 + self.row_batch]
+            # k+1 smallest over all columns, merged tile by tile
+            best = np.full((len(rows), k + 1), np.inf, np.float32)
+            for c0 in range(0, n, self.col_batch):
+                cols = self.features[c0:c0 + self.col_batch]
+                d = np.asarray(_pairwise_sq_dists(jnp.asarray(rows),
+                                                  jnp.asarray(cols)))
+                merged = np.concatenate([best, d], axis=1)
+                best = np.partition(merged, k, axis=1)[:, :k + 1]
+            # k-th neighbour excluding self (distance 0 is the point itself)
+            radii[r0:r0 + len(rows)] = np.sort(best, axis=1)[:, k]
+        return radii
+
+    def evaluate(self, probes: np.ndarray) -> np.ndarray:
+        """1 if a probe falls inside any manifold hypersphere."""
+        probes = np.ascontiguousarray(probes, np.float32)
+        out = np.zeros(len(probes), np.int32)
+        for r0 in range(0, len(probes), self.row_batch):
+            rows = probes[r0:r0 + self.row_batch]
+            hit = np.zeros(len(rows), bool)
+            for c0 in range(0, len(self.features), self.col_batch):
+                cols = self.features[c0:c0 + self.col_batch]
+                d = np.asarray(_pairwise_sq_dists(jnp.asarray(rows),
+                                                  jnp.asarray(cols)))
+                hit |= (d <= self.radii[c0:c0 + self.col_batch][None, :]).any(1)
+            out[r0:r0 + len(rows)] = hit
+        return out
+
+
+def compute_prec_recall(real_features: np.ndarray, fake_features: np.ndarray,
+                        nhood_size: int = 3) -> Tuple[float, float]:
+    """precision = frac(fake in real manifold); recall = frac(real in fake)."""
+    real_m = ManifoldEstimator(real_features, nhood_size)
+    fake_m = ManifoldEstimator(fake_features, nhood_size)
+    precision = fake_m_in_real = real_m.evaluate(fake_features).mean()
+    recall = fake_m.evaluate(real_features).mean()
+    return float(precision), float(recall)

@@ -170,6 +170,7 @@ class LinearAttention(nn.Module):
     heads: int = 4
     dim_head: int = 32
     dtype: jnp.dtype = jnp.float32
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -181,9 +182,19 @@ class LinearAttention(nn.Module):
         qkv = qkv.reshape(b, h * w, 3, self.heads, self.dim_head)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
 
-        k = jax.nn.softmax(k.astype(jnp.float32), axis=1).astype(self.dtype)
-        context = jnp.einsum("bnhd,bnhe->bhde", k, v)
-        out = jnp.einsum("bhde,bnhd->bnhe", context, q)
+        if self.use_pallas:
+            from dddpm_tpu.ops.pallas.linear_attention import linear_attention
+
+            # (B, N, h, d) -> (B*h, N, d) for the per-(batch, head) grid
+            to_bh = lambda t: t.transpose(0, 2, 1, 3).reshape(
+                b * self.heads, h * w, self.dim_head)
+            out = linear_attention(to_bh(q), to_bh(k), to_bh(v))
+            out = out.reshape(b, self.heads, h * w, self.dim_head)
+            out = out.transpose(0, 2, 1, 3)
+        else:
+            k = jax.nn.softmax(k.astype(jnp.float32), axis=1).astype(self.dtype)
+            context = jnp.einsum("bnhd,bnhe->bhde", k, v)
+            out = jnp.einsum("bhde,bnhd->bnhe", context, q)
         out = out.reshape(b, h, w, hidden)
         return conv1x1(self.dim, hidden, dtype=self.dtype, name="to_out")(out)
 
@@ -193,11 +204,13 @@ class PreNormLinearAttention(nn.Module):
 
     dim: int
     dtype: jnp.dtype = jnp.float32
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         h = ChannelLayerNorm(self.dim)(x)
-        h = LinearAttention(self.dim, dtype=self.dtype)(h)
+        h = LinearAttention(self.dim, dtype=self.dtype,
+                            use_pallas=self.use_pallas)(h)
         return x + h
 
 

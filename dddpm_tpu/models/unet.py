@@ -39,6 +39,7 @@ class Unet(nn.Module):
     dim_mults: Sequence[int] = (1, 2, 2, 2)
     dropout: float = 0.0
     dtype: jnp.dtype = jnp.float32
+    use_pallas: bool = False
 
     @classmethod
     def from_config(cls, config: dict) -> "Unet":
@@ -49,6 +50,7 @@ class Unet(nn.Module):
             dim_mults=tuple(config["unet_dims"]),
             dropout=config["unet_dropout"],
             dtype=dtype,
+            use_pallas=bool(config.get("use_pallas_attention", False)),
         )
 
     @nn.compact
@@ -72,7 +74,8 @@ class Unet(nn.Module):
                             dtype=self.dtype)(x, t_emb, deterministic)
             x = ResnetBlock(dim_out, dim_out, dropout=self.dropout,
                             dtype=self.dtype)(x, t_emb, deterministic)
-            x = PreNormLinearAttention(dim_out, dtype=self.dtype)(x)
+            x = PreNormLinearAttention(dim_out, dtype=self.dtype,
+                                       use_pallas=self.use_pallas)(x)
             skips.append(x)
             if not is_last:
                 x = Downsample(dim_out, dtype=self.dtype)(x)
@@ -80,7 +83,8 @@ class Unet(nn.Module):
         # bottom
         mid_dim = dims[-1]
         x = ResnetBlock(mid_dim, mid_dim, dtype=self.dtype)(x, t_emb, deterministic)
-        x = PreNormLinearAttention(mid_dim, dtype=self.dtype)(x)
+        x = PreNormLinearAttention(mid_dim, dtype=self.dtype,
+                                   use_pallas=self.use_pallas)(x)
         x = ResnetBlock(mid_dim, mid_dim, dtype=self.dtype)(x, t_emb, deterministic)
 
         # expansive path (reference iterates reversed(in_out[1:]))
@@ -90,7 +94,8 @@ class Unet(nn.Module):
                                                                    deterministic)
             x = ResnetBlock(dim_in, dim_in, dtype=self.dtype)(x, t_emb,
                                                               deterministic)
-            x = PreNormLinearAttention(dim_in, dtype=self.dtype)(x)
+            x = PreNormLinearAttention(dim_in, dtype=self.dtype,
+                                       use_pallas=self.use_pallas)(x)
             x = Upsample(dim_in, dtype=self.dtype)(x)
 
         # final Block + 1x1 projection back to input channels

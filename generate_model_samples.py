@@ -1,0 +1,80 @@
+"""Bulk sample generation for FID evaluation.
+
+Reference generate_model_samples.py: loads a checkpoint (EMA weights
+preferred), samples ceil(fid_samples/batch_size) batches, prints timing
+stats, saves (n_batches, B, H, W, C) [0,255] npy arrays (+ latent npy
+for dDDPM).  Here the sampling batch is sharded over the device mesh.
+
+    python generate_model_samples.py --checkpoint <dir> \
+        [--fid-samples 50000] [--batch-size 192] [--out samples/]
+"""
+import argparse
+import json
+import os
+
+import numpy as np
+import jax
+
+from dddpm_tpu.models.factory import build_model
+from dddpm_tpu.parallel.mesh import create_mesh, replicate
+from dddpm_tpu.sample import generate_samples
+from dddpm_tpu.train import checkpoint as ckpt
+from dddpm_tpu.train.state import create_optimizer, create_train_state
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--fid-samples", type=int, default=50000)
+    p.add_argument("--batch-size", type=int, default=192)
+    p.add_argument("--out", default="results/samples")
+    p.add_argument("--latent-out", default="results/samples_latent")
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args()
+
+    config = ckpt.load_config(args.checkpoint)
+    if "unet_dims" in config:
+        config["unet_dims"] = tuple(config["unet_dims"])
+    config["batch_size"] = args.batch_size
+
+    net, process, init_fn, config = build_model(config)
+    tx = create_optimizer(config["lr"])
+    abstract = jax.eval_shape(
+        lambda r: create_train_state(config, init_fn, r, tx),
+        jax.random.PRNGKey(0))
+    state = ckpt.restore_checkpoint(args.checkpoint, abstract)
+    params = state.ema_params if config.get("ema_decay", 0) > 0 else state.params
+
+    mesh = create_mesh()
+    params = replicate(params, mesh)
+
+    name = os.path.basename(os.path.normpath(args.checkpoint))
+    print(f"\nGenerating {args.fid_samples} samples from checkpoint {name}.")
+    print(f"Trained for {int(state.step)} steps with configuration dict:")
+    print(json.dumps({k: str(v) if isinstance(v, tuple) else v
+                      for k, v in config.items()}, indent=4) + "\n")
+
+    samples, latents, timing = generate_samples(
+        process, params, mesh, jax.random.PRNGKey(args.seed),
+        args.fid_samples, args.batch_size)
+
+    print(f"Using batch size {args.batch_size}")
+    print(f"Total time: {timing['total_s']}")
+    print(f"Sample time: {timing['per_sample_s']}")
+    print(f"Batch time: {timing['per_batch_s']}")
+    print(f"Throughput: {timing['imgs_per_sec']:.2f} imgs/sec")
+
+    os.makedirs(args.out, exist_ok=True)
+    save_path = os.path.join(args.out, name)
+    np.save(save_path, samples, allow_pickle=False)
+    print(f"Samples saved to {save_path}")
+
+    if latents is not None:
+        os.makedirs(args.latent_out, exist_ok=True)
+        save_path = os.path.join(args.latent_out, name)
+        np.save(save_path, latents, allow_pickle=False)
+        print(f"Latent samples saved to {save_path}")
+
+
+if __name__ == "__main__":
+    main()

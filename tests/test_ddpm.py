@@ -1,0 +1,205 @@
+"""DDPM process math tests: q/p closed forms, sampling chain, losses,
+VLB — on a tiny UNet so everything runs fast on CPU."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from dddpm_tpu.models.ddpm import GaussianDiffusion
+from dddpm_tpu.models.schedule import DiffusionSchedule
+from dddpm_tpu.models.unet import Unet
+
+T = 20
+SIZE = 8
+CH = 1
+
+
+@pytest.fixture(scope="module")
+def setup():
+    sched = DiffusionSchedule.create("cosine", T)
+    net = Unet(dim=8, in_channels=CH, dim_mults=(1, 2), dropout=0.0)
+
+    def eps_fn(params, x_t, t, rng, train):
+        rngs = {"dropout": rng} if (train and rng is not None) else None
+        return net.apply(params, x_t, t, deterministic=not train, rngs=rngs)
+
+    proc = GaussianDiffusion(sched, eps_fn, (SIZE, SIZE, CH),
+                             loss_type="simple", loss_flat="sum")
+    params = net.init(jax.random.PRNGKey(0),
+                      jnp.zeros((1, SIZE, SIZE, CH)), jnp.zeros((1,), jnp.int32))
+    return proc, params
+
+
+def test_q_sample_closed_form(setup):
+    proc, _ = setup
+    rng = jax.random.PRNGKey(1)
+    x = jax.random.normal(rng, (4, SIZE, SIZE, CH))
+    eps = jax.random.normal(jax.random.fold_in(rng, 1), x.shape)
+    t = jnp.array([0, 5, 10, T - 1])
+    got = np.asarray(proc.q_sample(x, t, eps))
+    s = proc.schedule
+    for i, ti in enumerate([0, 5, 10, T - 1]):
+        want = (np.asarray(s.sqrt_alphas_cumprod)[ti] * np.asarray(x[i])
+                + np.asarray(s.sqrt_one_minus_alphas_cumprod)[ti] * np.asarray(eps[i]))
+        np.testing.assert_allclose(got[i], want, rtol=1e-5)
+
+
+def test_predict_x_inverts_q_sample(setup):
+    """predict_x_from_eps(q_sample(x, t, eps), t, eps) == x exactly."""
+    proc, _ = setup
+    rng = jax.random.PRNGKey(2)
+    x = jax.random.uniform(rng, (4, SIZE, SIZE, CH), minval=-1, maxval=1)
+    eps = jax.random.normal(jax.random.fold_in(rng, 1), x.shape)
+    t = jnp.array([0, 3, 7, T - 1])
+    x_t = proc.q_sample(x, t, eps)
+    x_rec = proc.predict_x_from_eps(x_t, t, eps, clip=False)
+    np.testing.assert_allclose(np.asarray(x_rec), np.asarray(x), atol=2e-4)
+
+
+def test_q_posterior_t1_matches_formula(setup):
+    proc, _ = setup
+    rng = jax.random.PRNGKey(3)
+    x0 = jax.random.normal(rng, (2, SIZE, SIZE, CH))
+    xt = jax.random.normal(jax.random.fold_in(rng, 1), x0.shape)
+    t = jnp.array([1, 1])
+    mean, var, logvar = proc.q_posterior(x0, xt, t)
+    s = proc.schedule
+    c1 = np.asarray(s.posterior_mean_coef1)[1]
+    c2 = np.asarray(s.posterior_mean_coef2)[1]
+    np.testing.assert_allclose(np.asarray(mean),
+                               c1 * np.asarray(x0) + c2 * np.asarray(xt),
+                               rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(var)[:, 0, 0, 0],
+                               np.asarray(s.posterior_variance)[1], rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(logvar), np.log(np.asarray(var)),
+                               rtol=1e-5)
+
+
+def test_q_mean_variance(setup):
+    proc, _ = setup
+    x = jnp.ones((1, SIZE, SIZE, CH))
+    t = jnp.array([T - 1])
+    mean, var, logvar = proc.q_mean_variance(x, t)
+    s = proc.schedule
+    np.testing.assert_allclose(np.asarray(mean)[0, 0, 0, 0],
+                               np.asarray(s.sqrt_alphas_cumprod)[-1], rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(var)[0, 0, 0, 0],
+                               1 - np.asarray(s.alphas_cumprod)[-1], rtol=1e-6)
+
+
+def test_sample_shape_and_determinism(setup):
+    proc, params = setup
+    rng = jax.random.PRNGKey(4)
+    s1 = proc.sample(params, rng, batch_size=2)
+    s2 = proc.sample(params, rng, batch_size=2)
+    assert s1.shape == (2, SIZE, SIZE, CH)
+    np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
+    assert np.isfinite(np.asarray(s1)).all()
+    s3 = proc.sample(params, jax.random.PRNGKey(5), batch_size=2)
+    assert np.abs(np.asarray(s1) - np.asarray(s3)).max() > 1e-4
+
+
+def test_sample_jit_compiles(setup):
+    proc, params = setup
+    f = jax.jit(lambda p, r: proc.sample(p, r, batch_size=2))
+    out = f(params, jax.random.PRNGKey(6))
+    assert out.shape == (2, SIZE, SIZE, CH)
+
+
+def test_early_stop_runs_fewer_steps(setup):
+    proc, params = setup
+    out = proc.p_sample_loop(params, jax.random.PRNGKey(7), (1, SIZE, SIZE, CH),
+                             early_stop=T - 2)
+    assert out.shape == (1, SIZE, SIZE, CH)
+
+
+def test_losses_simple_reduction(setup):
+    """simple + loss_flat=sum: obj = mean_batch(sum_pixels(sq_err))."""
+    proc, params = setup
+    rng = jax.random.PRNGKey(8)
+    x = jax.random.uniform(rng, (4, SIZE, SIZE, CH), minval=-1, maxval=1)
+    t = jnp.array([2, 5, 9, 15])
+    obj = proc.losses(params, rng, x, t, train=False)
+    assert obj.shape == ()
+    # manual recomputation with identical rng folding
+    rng_eps, _ = jax.random.split(rng)
+    eps = jax.random.normal(rng_eps, x.shape, x.dtype)
+    x_t = proc.q_sample(x, t, eps)
+    eps_hat = proc.eps_fn(params, x_t, t, None, False)
+    want = np.square(np.asarray(eps) - np.asarray(eps_hat)).reshape(4, -1).sum(1).mean()
+    np.testing.assert_allclose(float(obj), want, rtol=1e-4)
+
+
+def test_loss_types_differ(setup):
+    proc, params = setup
+    x = jax.random.uniform(jax.random.PRNGKey(9), (2, SIZE, SIZE, CH))
+    t = jnp.array([3, 12])
+    eps = jnp.ones_like(x) * 0.1
+    eps_hat = jnp.zeros_like(x)
+    simple = proc.loss_ddpm(eps, eps_hat, t)
+
+    proc_vlb = GaussianDiffusion(proc.schedule, proc.eps_fn, proc.sample_shape,
+                                 loss_type="vlb", loss_flat="sum")
+    vlb = proc_vlb.loss_ddpm(eps, eps_hat, t)
+    proc_hyb = GaussianDiffusion(proc.schedule, proc.eps_fn, proc.sample_shape,
+                                 loss_type="hybrid", loss_flat="sum")
+    hyb = proc_hyb.loss_ddpm(eps, eps_hat, t)
+
+    l = np.square(0.1) * SIZE * SIZE * CH
+    w = np.asarray(proc.schedule.vlb_weights)[np.array([3, 12])]
+    np.testing.assert_allclose(float(simple), l, rtol=1e-5)
+    np.testing.assert_allclose(float(vlb), (w * l).mean(), rtol=1e-5)
+    np.testing.assert_allclose(float(hyb), (l + 1e-4 * w * l).mean(), rtol=1e-5)
+
+
+def test_calc_prior_small_for_data_in_range(setup):
+    """L_T must be tiny: q(x_T|x_0) is nearly N(0, I) by construction."""
+    proc, _ = setup
+    x = jax.random.uniform(jax.random.PRNGKey(10), (4, SIZE, SIZE, CH),
+                           minval=-1, maxval=1)
+    prior = np.asarray(proc.calc_prior(x))
+    assert prior.shape == (4,)
+    assert (prior >= 0).all()
+    assert prior.max() < 0.1  # bits/dim; near-zero for T=20 linear
+
+
+def test_vlb_terms_t0_uses_nll(setup):
+    proc, params = setup
+    x = jnp.zeros((2, SIZE, SIZE, CH))
+    x_t = proc.q_sample(x, jnp.array([0, 5]),
+                        jax.random.normal(jax.random.PRNGKey(11), x.shape))
+    vlb = proc.vlb_terms(params, x, x_t, jnp.array([0, 5]))
+    assert vlb.shape == (2,)
+    assert np.isfinite(np.asarray(vlb)).all()
+    # t=0 term is a discretized NLL — strictly positive bits
+    assert np.asarray(vlb)[0] > 0
+
+
+def test_test_losses_structure(setup):
+    proc, params = setup
+    x = jax.random.uniform(jax.random.PRNGKey(12), (2, SIZE, SIZE, CH),
+                           minval=-1, maxval=1)
+    out = proc.test_losses(params, jax.random.PRNGKey(13), x)
+    assert out["vlb_t"].shape == (2, T)
+    assert out["prior"].shape == (2,)
+    assert out["vlb"].shape == (2,)
+    assert out["L_simple_t"].shape == (T,)
+    assert out["L_simple"].shape == ()
+    np.testing.assert_allclose(
+        np.asarray(out["vlb"]),
+        np.asarray(out["vlb_t"]).sum(1) + np.asarray(out["prior"]), rtol=1e-5)
+    assert np.isfinite(np.asarray(out["vlb"])).all()
+
+
+def test_reconstruct_shape(setup):
+    proc, params = setup
+    x = jax.random.uniform(jax.random.PRNGKey(14), (5, SIZE, SIZE, CH))
+    rec = proc.reconstruct(params, jax.random.PRNGKey(15), x, 4)
+    assert rec.shape == (4, SIZE, SIZE, CH)
+
+
+def test_t_sample_range(setup):
+    proc, _ = setup
+    t = np.asarray(proc.t_sample(jax.random.PRNGKey(16), 1000))
+    assert t.min() >= 0 and t.max() <= T - 1
+    assert len(np.unique(t)) > T // 2  # roughly uniform coverage

@@ -1,0 +1,114 @@
+"""Mesh/sharding tests on the virtual 8-device CPU mesh: data-parallel
+train step equals single-device results, sharded bulk sampling works."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from dddpm_tpu.models.factory import build_model
+from dddpm_tpu.parallel.mesh import (
+    batch_sharding,
+    create_mesh,
+    replicate,
+    replicated,
+    shard_batch,
+)
+from dddpm_tpu.train.state import (
+    create_optimizer,
+    create_train_state,
+    make_train_step,
+)
+
+CFG = {
+    "model": "ddpm", "dataset": "synthetic", "image_size": 8,
+    "batch_size": 16, "lr": 1e-3, "T": 10, "loss_type": "simple",
+    "beta_schedule": "cosine", "loss_flat": "sum",
+    "unet_chan": 8, "unet_dims": (1, 2), "unet_dropout": 0.0,
+    "ema_decay": 0.995, "compute_dtype": "float32",
+}
+
+
+def test_mesh_creation(devices):
+    mesh = create_mesh()
+    assert mesh.devices.size == 8
+    assert mesh.axis_names == ("data",)
+    mesh2 = create_mesh((4,), devices=devices[:4])
+    assert mesh2.devices.size == 4
+
+
+def test_shard_batch_layout(devices):
+    mesh = create_mesh()
+    x = np.arange(16 * 4, dtype=np.float32).reshape(16, 4)
+    xs = shard_batch(x, mesh)
+    assert xs.sharding == batch_sharding(mesh)
+    # each device holds 2 rows
+    assert xs.addressable_shards[0].data.shape == (2, 4)
+    np.testing.assert_array_equal(np.asarray(xs), x)
+
+
+def test_data_parallel_step_matches_single_device(devices):
+    """Same batch, same state: sharded-over-8 must equal single-device."""
+    net, proc, init_fn, cfg = build_model(dict(CFG))
+    tx = create_optimizer(cfg["lr"])
+    state = create_train_state(cfg, init_fn, jax.random.PRNGKey(0), tx)
+    step = make_train_step(proc, tx, grad_accum=2, ema_decay=0.995)
+    batch = jax.random.uniform(jax.random.PRNGKey(1), (2, 16, 8, 8, 3),
+                               minval=-1, maxval=1)
+
+    # single device
+    s1, m1 = jax.jit(step)(state, batch)
+
+    # 8-device mesh
+    mesh = create_mesh()
+    state8 = jax.device_put(state, replicated(mesh))
+    batch8 = jax.device_put(batch, NamedSharding(mesh, P(None, "data")))
+    s8, m8 = jax.jit(step)(state8, batch8)
+
+    np.testing.assert_allclose(float(m1["train_obj"]), float(m8["train_obj"]),
+                               rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s8.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
+
+
+def test_bulk_sampler_sharded(devices):
+    from dddpm_tpu.sample import generate_samples
+
+    net, proc, init_fn, cfg = build_model(dict(CFG))
+    params = init_fn(jax.random.PRNGKey(0))
+    mesh = create_mesh()
+    params = replicate(params, mesh)
+    samples, latents, timing = generate_samples(
+        proc, params, mesh, jax.random.PRNGKey(1),
+        fid_samples=24, batch_size=16, progress=False)
+    assert samples.shape == (2, 16, 8, 8, 3)
+    assert latents is None
+    assert samples.min() >= 0.0 and samples.max() <= 255.0
+    assert timing["imgs_per_sec"] > 0
+
+
+def test_bulk_sampler_dddpm_returns_latents(devices):
+    from dddpm_tpu.sample import generate_samples
+
+    cfg = dict(CFG)
+    cfg.update({
+        "model": "dddpm", "image_size": 16, "n_downsamples": 1, "unet_in": 4,
+        "d_mode": "convolutional_res", "u_mode": "convolutional_res",
+        "d_dropout": 0, "d_chans": 8, "d_n_blocks": 2, "u_n_blocks": 2,
+        "ae_loss": True, "t_rec_max": 5, "force_latent": True,
+    })
+    net, proc, init_fn, cfg = build_model(cfg)
+    params = init_fn(jax.random.PRNGKey(0))
+    mesh = create_mesh()
+    params = replicate(params, mesh)
+    samples, latents, _ = generate_samples(
+        proc, params, mesh, jax.random.PRNGKey(1),
+        fid_samples=8, batch_size=8, progress=False)
+    assert samples.shape == (1, 8, 16, 16, 3)
+    assert latents.shape == (1, 8, 8, 8, 4)
+
+
+def test_graft_dryrun_multichip(devices):
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(8)

@@ -1,0 +1,187 @@
+"""Training stack tests: EMA semantics, train step, checkpoint
+roundtrip, end-to-end trainer smoke on the synthetic dataset."""
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from dddpm_tpu.train.ema import ema_update
+from dddpm_tpu.train.state import (
+    create_optimizer,
+    create_train_state,
+    make_train_step,
+)
+from dddpm_tpu.train import checkpoint as ckpt
+from dddpm_tpu.models.factory import build_model
+
+CFG = {
+    "model": "ddpm", "dataset": "synthetic", "image_size": 8,
+    "batch_size": 8, "n_steps": 3, "lr": 1e-3, "T": 10,
+    "loss_type": "simple", "beta_schedule": "cosine", "loss_flat": "sum",
+    "unet_chan": 8, "unet_dims": (1, 2), "unet_dropout": 0.0,
+    "ema_decay": 0.995, "val_split": 0, "rnd_flip": False,
+    "grad_accum": 2, "compute_dtype": "float32",
+}
+
+
+# ----------------------------------------------------------------- EMA
+
+def test_ema_copies_during_warmup():
+    ema = {"w": jnp.zeros(3)}
+    params = {"w": jnp.ones(3)}
+    out = ema_update(ema, params, jnp.asarray(100), 0.995, 2000, 10)
+    np.testing.assert_array_equal(np.asarray(out["w"]), 1.0)
+
+
+def test_ema_lerps_on_update_steps():
+    ema = {"w": jnp.zeros(3)}
+    params = {"w": jnp.ones(3)}
+    out = ema_update(ema, params, jnp.asarray(2000), 0.995, 2000, 10)
+    np.testing.assert_allclose(np.asarray(out["w"]), 0.005, rtol=1e-6)
+
+
+def test_ema_unchanged_off_cycle():
+    ema = {"w": jnp.full(3, 0.3)}
+    params = {"w": jnp.ones(3)}
+    out = ema_update(ema, params, jnp.asarray(2003), 0.995, 2000, 10)
+    np.testing.assert_array_equal(np.asarray(out["w"]), np.asarray(ema["w"]))
+
+
+# ---------------------------------------------------------- train step
+
+@pytest.fixture(scope="module")
+def stepper():
+    net, proc, init_fn, cfg = build_model(dict(CFG))
+    tx = create_optimizer(cfg["lr"])
+    state = create_train_state(cfg, init_fn, jax.random.PRNGKey(0), tx)
+    step_fn = jax.jit(make_train_step(proc, tx, grad_accum=2,
+                                      ema_decay=0.995), donate_argnums=0)
+    return proc, state, step_fn
+
+
+def test_train_step_updates_params_and_decreases_loss(stepper):
+    proc, state, step_fn = stepper
+    state = jax.tree.map(jnp.copy, state)  # step_fn donates its input
+    rng = jax.random.PRNGKey(1)
+    batch = jax.random.uniform(rng, (2, 8, 8, 8, 3), minval=-1, maxval=1)
+    p0 = jax.tree.map(np.asarray, state.params)
+    losses = []
+    for i in range(8):
+        state, metrics = step_fn(state, batch)
+        losses.append(float(metrics["train_obj"]))
+    assert int(state.step) == 8
+    # params actually moved
+    p1 = state.params
+    diffs = jax.tree.map(lambda a, b: np.abs(a - np.asarray(b)).max(), p0, p1)
+    assert max(jax.tree.leaves(diffs)) > 1e-5
+    # optimizing a fixed batch must reduce the loss
+    assert losses[-1] < losses[0]
+    # EMA stays in warmup copy mode (step < 2000): equals params
+    ema_diff = jax.tree.map(lambda a, b: np.abs(np.asarray(a) - np.asarray(b)).max(),
+                            state.ema_params, state.params)
+    assert max(jax.tree.leaves(ema_diff)) == 0.0
+
+
+def test_metrics_contains_grad_norm(stepper):
+    proc, state, step_fn = stepper
+    state = jax.tree.map(jnp.copy, state)  # step_fn donates its input
+    batch = jnp.zeros((2, 8, 8, 8, 3))
+    _, metrics = step_fn(state, batch)
+    assert "grad_norm" in metrics and np.isfinite(float(metrics["grad_norm"]))
+
+
+# ---------------------------------------------------------- checkpoint
+
+def test_checkpoint_roundtrip(tmp_path):
+    net, proc, init_fn, cfg = build_model(dict(CFG))
+    tx = create_optimizer(cfg["lr"])
+    state = create_train_state(cfg, init_fn, jax.random.PRNGKey(0), tx)
+    d = str(tmp_path / "ckpt")
+    ckpt.save_checkpoint(d, state, cfg, [1.0, 2.0])
+    restored = ckpt.restore_checkpoint(d, state)
+    for a, b in zip(jax.tree.leaves(state), jax.tree.leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert ckpt.load_losses(d) == [1.0, 2.0]
+    cfg2 = ckpt.load_config(d)
+    assert cfg2["model"] == "ddpm" and cfg2["T"] == 10
+    # overwrite in place works (checkpoint every 10k steps)
+    ckpt.save_checkpoint(d, restored, cfg, [1.0])
+    assert ckpt.load_losses(d) == [1.0]
+
+
+def test_load_model_params_prefers_ema(tmp_path):
+    net, proc, init_fn, cfg = build_model(dict(CFG))
+    tx = create_optimizer(cfg["lr"])
+    state = create_train_state(cfg, init_fn, jax.random.PRNGKey(0), tx)
+    # make EMA differ from params
+    state = state.replace(
+        ema_params=jax.tree.map(lambda p: p + 1.0, state.params))
+    d = str(tmp_path / "ckpt")
+    ckpt.save_checkpoint(d, state, cfg)
+    loaded = ckpt.load_model_params(d, state, prefer_ema=True)
+    a = jax.tree.leaves(loaded)[0]
+    b = jax.tree.leaves(state.params)[0]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b) + 1.0, rtol=1e-6)
+
+
+# ------------------------------------------------------------- trainer
+
+def test_trainer_end_to_end(tmp_path):
+    from dddpm_tpu.train.trainer import setup_trainer
+
+    cfg = dict(CFG)
+    trainer, out_cfg = setup_trainer(cfg, mute=True, workdir=str(tmp_path))
+    trainer.n_samples = 4
+    trainer.n_rows = 2
+    losses = trainer.train()
+    assert len(losses) == CFG["n_steps"]
+    assert all(np.isfinite(l) for l in losses)
+    assert "model_size" in out_cfg
+    # checkpoint written at finalize
+    assert os.path.exists(trainer.checkpoint_dir)
+    # metrics JSONL written
+    assert os.path.exists(trainer.logger.metrics_path)
+
+
+def test_trainer_resume(tmp_path):
+    from dddpm_tpu.train.trainer import setup_trainer
+
+    cfg = dict(CFG)
+    trainer, _ = setup_trainer(cfg, mute=True, workdir=str(tmp_path))
+    trainer.init_logging()
+    trainer.train_loop()
+    trainer.finalize()
+    step0 = trainer.step
+
+    cfg2 = dict(CFG)
+    cfg2["n_steps"] = 5
+    trainer2, _ = setup_trainer(cfg2, mute=True, workdir=str(tmp_path))
+    trainer2.load_checkpoint(trainer.checkpoint_dir)
+    assert trainer2.step == step0
+    trainer2.init_logging()
+    trainer2.train_loop()
+    assert trainer2.step == 5
+
+
+def test_trainer_dddpm_metrics(tmp_path):
+    from dddpm_tpu.train.trainer import setup_trainer
+
+    cfg = dict(CFG)
+    cfg.update({
+        "model": "dddpm", "n_downsamples": 1, "unet_in": 4,
+        "d_mode": "convolutional_res", "u_mode": "convolutional_res",
+        "d_dropout": 0, "d_chans": 8, "d_n_blocks": 2, "u_n_blocks": 2,
+        "ae_loss": True, "t_rec_max": 5, "force_latent": True,
+        "n_steps": 2,
+    })
+    trainer, _ = setup_trainer(cfg, mute=True, workdir=str(tmp_path))
+    trainer.n_samples = 4
+    trainer.n_rows = 2
+    trainer.train()
+    # metric rows include latent/recon parts
+    import json
+    with open(trainer.logger.metrics_path) as f:
+        rows = [json.loads(l) for l in f]
+    assert {"train_obj", "train_latent", "train_recon"} <= set(rows[0])
