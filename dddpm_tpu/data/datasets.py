@@ -135,6 +135,64 @@ def make_synthetic(image_size: int, channels: int = 3, n: int = 512,
     return imgs, labels
 
 
+LABEL_MAPS = {
+    "cifar10": ["airplane", "automobile", "bird", "cat", "deer", "dog",
+                "frog", "horse", "ship", "truck"],
+    "mnist": [str(i) for i in range(10)],
+    "celeba": ["female", "male"],
+    "celeba_hq": ["female", "male"],
+    "celeba_hq_64": ["female", "male"],
+    "synthetic": ["a", "b"],
+}
+
+
+def get_label_map(dataset: str):
+    if dataset == "cifar100":
+        # fine label names ship with the dataset pickle's meta file
+        raise ValueError("cifar100 label names come from the dataset's "
+                         "meta file; read cifar-100-python/meta")
+    if dataset not in LABEL_MAPS:
+        raise ValueError(f"Dataset {dataset} has no label map")
+    return LABEL_MAPS[dataset]
+
+
+def download_datasets(data_root: str = "./data/"):
+    """Download MNIST/CIFAR archives (reference utils/data.py:32-45).
+
+    This build image has no network egress; the function exists for API
+    parity and fails with a clear message when offline.
+    """
+    import urllib.request
+
+    urls = {
+        "cifar-10-python.tar.gz":
+            "https://www.cs.toronto.edu/~kriz/cifar-10-python.tar.gz",
+        "cifar-100-python.tar.gz":
+            "https://www.cs.toronto.edu/~kriz/cifar-100-python.tar.gz",
+        "mnist/train-images-idx3-ubyte.gz":
+            "https://ossci-datasets.s3.amazonaws.com/mnist/train-images-idx3-ubyte.gz",
+        "mnist/train-labels-idx1-ubyte.gz":
+            "https://ossci-datasets.s3.amazonaws.com/mnist/train-labels-idx1-ubyte.gz",
+        "mnist/t10k-images-idx3-ubyte.gz":
+            "https://ossci-datasets.s3.amazonaws.com/mnist/t10k-images-idx3-ubyte.gz",
+        "mnist/t10k-labels-idx1-ubyte.gz":
+            "https://ossci-datasets.s3.amazonaws.com/mnist/t10k-labels-idx1-ubyte.gz",
+    }
+    os.makedirs(data_root, exist_ok=True)
+    for name, url in urls.items():
+        dest = os.path.join(data_root, name)
+        if os.path.exists(dest):
+            continue
+        os.makedirs(os.path.dirname(dest), exist_ok=True)
+        try:
+            print(f"Downloading {url}")
+            urllib.request.urlretrieve(url, dest)
+        except OSError as e:
+            raise RuntimeError(
+                f"Could not download {url} (offline environment?). "
+                f"Place dataset files under {data_root} manually.") from e
+
+
 def get_color_channels(dataset: str) -> int:
     if dataset in ("cifar10", "cifar100", "celeba", "celeba_hq",
                    "celeba_hq_64", "synthetic"):

@@ -54,25 +54,37 @@ class Loader:
     def x_shape(self) -> Tuple[int, ...]:
         return self.images.shape[1:]
 
+    def _scale_bias(self) -> Tuple[float, float]:
+        # [0,255] -> [0,1], then optionally [-1,1]
+        return (2.0 / 255.0, -1.0) if self.rescale else (1.0 / 255.0, 0.0)
+
     def _transform(self, batch: np.ndarray) -> np.ndarray:
-        x = batch.astype(np.float32) / 255.0
-        if self.rescale:
-            x = x * 2.0 - 1.0
+        from dddpm_tpu import native
+
+        scale, bias = self._scale_bias()
+        flip = None
         if self.rnd_flip:
-            flip = self._rng.rand(len(x)) < 0.5
-            x[flip] = x[flip, :, ::-1]
-        return x
+            flip = self._rng.rand(len(batch)) < 0.5
+        return native.batch_transform(batch, scale, bias, flip)
 
     def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+        from dddpm_tpu import native
+
         order = np.arange(len(self.images))
         if self.shuffle:
             self._rng.shuffle(order)
         end = (len(order) // self.batch_size) * self.batch_size
         if not self.drop_last and end < len(order):
             end = len(order)
+        scale, bias = self._scale_bias()
         for i in range(0, end, self.batch_size):
             idx = order[i:i + self.batch_size]
-            yield self._transform(self.images[idx]), self.labels[idx]
+            flip = None
+            if self.rnd_flip:
+                flip = self._rng.rand(len(idx)) < 0.5
+            # fused gather + uint8->f32 transform (native C++ when built)
+            yield native.gather_transform(self.images, idx, scale, bias,
+                                          flip), self.labels[idx]
 
     def cycle(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
         """Infinite epoch-reshuffling iterator (reference cycle())."""

@@ -23,8 +23,10 @@ def _pairwise_sq_dists(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     b = b.astype(jnp.float32)
     a2 = jnp.sum(a * a, axis=1, keepdims=True)
     b2 = jnp.sum(b * b, axis=1, keepdims=True)
-    d = a2 - 2.0 * (a @ b.T) + b2.T
-    return jnp.maximum(d, 0.0)
+    # HIGHEST: full-f32 matmul — the a2-2ab+b2 form cancels badly under
+    # the TPU's default bf16-passes f32 dot
+    ab = jnp.dot(a, b.T, precision=jax.lax.Precision.HIGHEST)
+    return jnp.maximum(a2 - 2.0 * ab + b2.T, 0.0)
 
 
 class ManifoldEstimator:

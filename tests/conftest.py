@@ -15,6 +15,15 @@ if "xla_force_host_platform_device_count" not in _flags:
 
 import jax  # noqa: E402  (import after env setup)
 
+# The image's sitecustomize imports jax at interpreter startup with
+# JAX_PLATFORMS=axon already latched into the config default, so the
+# env var above can be too late — force the platform via config too.
+jax.config.update("jax_platforms", "cpu")
+
+# persistent compilation cache: repeated test runs skip recompiles
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 import pytest  # noqa: E402
 
 

@@ -93,7 +93,8 @@ def test_vlb_weights():
     ac = np.cumprod(alphas)
     ac_prev = np.append(1.0, ac[:-1])
     post_var = (1.0 - ac_prev) / (1.0 - ac) * betas
-    w = betas**2 / (2 * post_var * alphas * (1 - ac))
+    with np.errstate(divide="ignore"):  # post_var[0] == 0 by construction
+        w = betas**2 / (2 * post_var * alphas * (1 - ac))
     w[0] = w[1]  # t=0 weight copied from t=1 (posterior var is 0 at t=0)
     np.testing.assert_allclose(sched.vlb_weights, w, rtol=1e-5)
     assert np.isfinite(np.asarray(sched.vlb_weights)).all()
