@@ -48,12 +48,12 @@ def get_lib() -> Optional[ctypes.CDLL]:
         f32p = ctypes.POINTER(ctypes.c_float)
         i64p = ctypes.POINTER(ctypes.c_int64)
         i64 = ctypes.c_int64
-        f32 = ctypes.c_float
-        lib.u8_to_f32_affine.argtypes = [u8p, f32p, i64, f32, f32]
+        f64 = ctypes.c_double
+        lib.u8_to_f32_affine.argtypes = [u8p, f32p, i64, f64, f64]
         lib.u8_batch_transform.argtypes = [u8p, f32p, i64, i64, i64, i64,
-                                           f32, f32, u8p]
+                                           f64, f64, u8p]
         lib.u8_gather_transform.argtypes = [u8p, i64p, f32p, i64, i64,
-                                            f32, f32, u8p, i64, i64, i64]
+                                            f64, f64, u8p, i64, i64, i64]
         _lib = lib
     except OSError:
         _lib = None

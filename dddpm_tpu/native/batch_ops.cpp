@@ -17,13 +17,13 @@ extern "C" {
 
 // dst[i] = src[i] * scale + bias  (e.g. scale=2/255, bias=-1)
 void u8_to_f32_affine(const uint8_t* src, float* dst, int64_t n,
-                      float scale, float bias) {
+                      double scale, double bias) {
     // precomputed 256-entry LUT: one load per element instead of a
     // multiply-add; the table lives in L1
     float lut[256];
     // double intermediate keeps endpoints exact (255*(2/255)-1 == 1.0f)
     for (int v = 0; v < 256; ++v)
-        lut[v] = (float)((double)v * (double)scale + (double)bias);
+        lut[v] = (float)((double)v * scale + bias);
     for (int64_t i = 0; i < n; ++i) dst[i] = lut[src[i]];
 }
 
@@ -31,10 +31,10 @@ void u8_to_f32_affine(const uint8_t* src, float* dst, int64_t n,
 // flip_mask[i] != 0 => image i is mirrored along W.
 void u8_batch_transform(const uint8_t* src, float* dst,
                         int64_t n_imgs, int64_t h, int64_t w, int64_t c,
-                        float scale, float bias, const uint8_t* flip_mask) {
+                        double scale, double bias, const uint8_t* flip_mask) {
     float lut[256];
     for (int v = 0; v < 256; ++v)
-        lut[v] = (float)((double)v * (double)scale + (double)bias);
+        lut[v] = (float)((double)v * scale + bias);
     const int64_t img = h * w * c;
     const int64_t row = w * c;
     for (int64_t i = 0; i < n_imgs; ++i) {
@@ -60,11 +60,11 @@ void u8_batch_transform(const uint8_t* src, float* dst,
 // with the dtype conversion (saves one uint8 batch materialization).
 void u8_gather_transform(const uint8_t* src, const int64_t* idx,
                          float* dst, int64_t n_out, int64_t img_elems,
-                         float scale, float bias, const uint8_t* flip_mask,
+                         double scale, double bias, const uint8_t* flip_mask,
                          int64_t h, int64_t w, int64_t c) {
     float lut[256];
     for (int v = 0; v < 256; ++v)
-        lut[v] = (float)((double)v * (double)scale + (double)bias);
+        lut[v] = (float)((double)v * scale + bias);
     const int64_t row = w * c;
     for (int64_t i = 0; i < n_out; ++i) {
         const uint8_t* s = src + idx[i] * img_elems;

@@ -29,7 +29,9 @@ def test_loader_rescales_to_minus1_1():
     x, y = next(iter(loader))
     assert x.dtype == np.float32
     assert x.min() >= -1.0 and x.max() <= 1.0
-    np.testing.assert_allclose(x, imgs[:8] / 255.0 * 2 - 1, atol=1e-6)
+    np.testing.assert_allclose(
+        x, (imgs[:8].astype(np.float64) / 255.0 * 2 - 1).astype(np.float32),
+        atol=1e-7)
 
 
 def test_loader_eval_keeps_0_1():

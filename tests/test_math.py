@@ -18,7 +18,8 @@ def test_mish_matches_definition():
 def test_reduce_ops():
     x = np.random.RandomState(0).randn(4, 3, 5, 5).astype(np.float32)
     np.testing.assert_allclose(
-        dmath.reduce_mean(jnp.asarray(x)), x.reshape(4, -1).mean(1), rtol=1e-5
+        dmath.reduce_mean(jnp.asarray(x)), x.reshape(4, -1).mean(1),
+        rtol=1e-5, atol=1e-6
     )
     np.testing.assert_allclose(
         dmath.reduce_sum(jnp.asarray(x)), x.reshape(4, -1).sum(1), rtol=1e-4
@@ -26,7 +27,7 @@ def test_reduce_ops():
     np.testing.assert_allclose(
         dmath.flat_bits(jnp.asarray(x)),
         x.reshape(4, -1).mean(1) / math.log(2),
-        rtol=1e-5,
+        rtol=1e-5, atol=1e-6,
     )
 
 

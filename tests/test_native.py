@@ -6,7 +6,9 @@ from dddpm_tpu import native
 
 
 def _numpy_ref(images, scale, bias, flip=None):
-    out = images.astype(np.float32) * scale + bias
+    # double-precision affine then f32 cast — matches the native LUT's
+    # exact-endpoint behaviour (255*(2/255)-1 == 1.0f)
+    out = (images.astype(np.float64) * scale + bias).astype(np.float32)
     if flip is not None:
         m = flip.astype(bool)
         out[m] = out[m, :, ::-1]

