@@ -68,7 +68,8 @@ def main():
             break
         except Exception as e:  # OOM on smaller chips: halve and retry
             msg = str(e)
-            if "RESOURCE_EXHAUSTED" in msg or "Out of memory" in msg or "exceeds" in msg:
+            if ("RESOURCE_EXHAUSTED" in msg or "Out of memory" in msg
+                    or "exceeds" in msg or "UNAVAILABLE" in msg):
                 print(f"# batch {batch_size} OOM, retrying at {batch_size // 2}",
                       file=sys.stderr)
                 batch_size //= 2

@@ -185,12 +185,10 @@ class LinearAttention(nn.Module):
         if self.use_pallas:
             from dddpm_tpu.ops.pallas.linear_attention import linear_attention
 
-            # (B, N, h, d) -> (B*h, N, d) for the per-(batch, head) grid
-            to_bh = lambda t: t.transpose(0, 2, 1, 3).reshape(
-                b * self.heads, h * w, self.dim_head)
-            out = linear_attention(to_bh(q), to_bh(k), to_bh(v))
-            out = out.reshape(b, self.heads, h * w, self.dim_head)
-            out = out.transpose(0, 2, 1, 3)
+            # heads stay folded in the lane axis: (B, N, heads*dim_head)
+            fold = lambda t: t.reshape(b, h * w, hidden)
+            out = linear_attention(fold(q), fold(k), fold(v), self.dim_head)
+            out = out.reshape(b, h * w, self.heads, self.dim_head)
         else:
             k = jax.nn.softmax(k.astype(jnp.float32), axis=1).astype(self.dtype)
             context = jnp.einsum("bnhd,bnhe->bhde", k, v)

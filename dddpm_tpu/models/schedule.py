@@ -95,9 +95,10 @@ class DiffusionSchedule:
         )
 
         # weights turning L_simple into L_vlb per timestep
-        vlb_weights = betas**2 / (
-            2.0 * posterior_variance * alphas * (1.0 - alphas_cumprod)
-        )
+        with np.errstate(divide="ignore"):  # posterior_variance[0] == 0
+            vlb_weights = betas**2 / (
+                2.0 * posterior_variance * alphas * (1.0 - alphas_cumprod)
+            )
         vlb_weights[0] = vlb_weights[1]
         assert not np.isnan(vlb_weights).any()
 

@@ -1,21 +1,29 @@
-"""Fused linear-attention Pallas TPU kernel.
+"""Fused linear-attention Pallas TPU kernels.
 
-The UNet applies linear attention at every resolution
-(softmax over the key token axis, then two (tokens x dim) contractions;
-see models/blocks.py LinearAttention).  Unfused, XLA materializes the
-softmaxed keys and the (d x e) context in HBM between ops; this kernel
-keeps the whole per-(batch, head) computation VMEM-resident:
+The UNet applies linear attention at every resolution (softmax over the
+key token axis, then two contractions; models/blocks.py).  Ablation on
+a v5e chip shows the unfused XLA path costs 43% of a 128^2-latent UNet
+eval — dominated by materializing softmax(k) over 16k tokens and the
+layout shuffles around the two einsums.  These kernels keep everything
+VMEM-resident:
 
-    k_n   = softmax_n(k)          (column-wise over tokens)
-    ctx   = k_n^T @ v             (d x d, MXU)
-    out   = q @ ctx               (N x d, MXU)
+Design (TPU-first):
+- all `heads` are folded into one lane axis of width heads*dim_head
+  (= 128 for the reference h=4, d=32 — exactly the MXU/VPU lane width);
+- kernel 1 streams token tiles of k, v and accumulates the 128x128
+  cross matrix A = sum_n exp(k - m)^T v with flash-style running max m
+  and denominator s (f32 scratch), then writes the *block-diagonal*
+  context ctx[hd, he] = A/s masked to within-head blocks — computing
+  the full 128x128 product costs 4x the per-head FLOPs (negligible)
+  but makes both matmuls full-width MXU ops;
+- kernel 2 streams token tiles of q and emits out = q @ ctx.
 
-Grid: one program per (batch * head).  Token/dim tiles of (N <= 4096,
-d = 32) fit easily in VMEM (3 x N*d*4 bytes + d^2).
+HBM traffic: one read each of q, k, v and one write of out — versus the
+XLA path's extra softmax round trips and transposes.
 
-Gradients: the op is wrapped in jax.custom_vjp whose backward re-derives
-from the identical pure-JAX computation, so training through the fused
-op is exact.
+Gradients: jax.custom_vjp re-derives the backward pass from the
+identical pure-JAX computation, so training through the fused op is
+exact.
 """
 from __future__ import annotations
 
@@ -23,63 +31,119 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _reference_impl(q, k, v):
-    """Pure-JAX reference: identical math, used for VJP and testing.
-
-    q, k, v: (BH, N, D) — batch*heads major.
-    """
-    k = jax.nn.softmax(k.astype(jnp.float32), axis=1)
-    ctx = jnp.einsum("bnd,bne->bde", k, v.astype(jnp.float32))
-    out = jnp.einsum("bde,bnd->bne", ctx, q.astype(jnp.float32))
-    return out.astype(q.dtype)
-
-
-def _kernel(q_ref, k_ref, v_ref, o_ref):
-    q = q_ref[0].astype(jnp.float32)   # (N, D)
-    k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0].astype(jnp.float32)
-
-    # softmax over the token axis (axis 0), numerically stable
-    m = jnp.max(k, axis=0, keepdims=True)
-    e = jnp.exp(k - m)
-    kn = e / jnp.sum(e, axis=0, keepdims=True)
-
-    ctx = jnp.dot(kn.T, v, preferred_element_type=jnp.float32)   # (D, D)
-    out = jnp.dot(q, ctx, preferred_element_type=jnp.float32)    # (N, D)
-    o_ref[0] = out.astype(o_ref.dtype)
+def _reference_impl(q, k, v, dim_head: int):
+    """Pure-JAX reference: identical math on (B, N, H*D) tensors."""
+    b, n, hd = q.shape
+    h = hd // dim_head
+    split = lambda t: t.reshape(b, n, h, dim_head)
+    qh, kh, vh = split(q), split(k), split(v)
+    kh = jax.nn.softmax(kh.astype(jnp.float32), axis=1)
+    ctx = jnp.einsum("bnhd,bnhe->bhde", kh, vh.astype(jnp.float32))
+    out = jnp.einsum("bhde,bnhd->bnhe", ctx, qh.astype(jnp.float32))
+    return out.reshape(b, n, hd).astype(q.dtype)
 
 
-def _fused_forward(q, k, v, interpret: bool = False):
-    bh, n, d = q.shape
-    spec = pl.BlockSpec((1, n, d), lambda i: (i, 0, 0),
-                        memory_space=pltpu.VMEM)
-    return pl.pallas_call(
-        _kernel,
-        grid=(bh,),
-        in_specs=[spec, spec, spec],
-        out_specs=spec,
-        out_shape=jax.ShapeDtypeStruct((bh, n, d), q.dtype),
+def _ctx_kernel(k_ref, v_ref, ctx_ref, m_scr, s_scr, a_scr, *, dim_head):
+    """Accumulate the context matrix over token tiles (grid dim 1)."""
+    j = pl.program_id(1)
+    nt = pl.num_programs(1)
+
+    @pl.when(j == 0)
+    def _():
+        m_scr[:] = jnp.full_like(m_scr, -jnp.inf)
+        s_scr[:] = jnp.zeros_like(s_scr)
+        a_scr[:] = jnp.zeros_like(a_scr)
+
+    kt = k_ref[0].astype(jnp.float32)          # (TN, HD)
+    vt = v_ref[0].astype(jnp.float32)          # (TN, HD)
+
+    m_old = m_scr[:]                           # (1, HD)
+    m_new = jnp.maximum(m_old, jnp.max(kt, axis=0, keepdims=True))
+    alpha = jnp.exp(m_old - m_new)             # (1, HD)
+    p = jnp.exp(kt - m_new)                    # (TN, HD)
+
+    m_scr[:] = m_new
+    s_scr[:] = s_scr[:] * alpha + jnp.sum(p, axis=0, keepdims=True)
+    # A[d, e] += sum_n p[n, d] * v[n, e]  (contract over tokens, MXU)
+    pa = lax.dot_general(p, vt, (((0,), (0,)), ((), ())),
+                         preferred_element_type=jnp.float32)
+    a_scr[:] = a_scr[:] * alpha.T + pa
+
+    @pl.when(j == nt - 1)
+    def _():
+        hd = a_scr.shape[0]
+        row = lax.broadcasted_iota(jnp.int32, (hd, hd), 0) // dim_head
+        col = lax.broadcasted_iota(jnp.int32, (hd, hd), 1) // dim_head
+        ctx = a_scr[:] / s_scr[:].T            # normalize per key column
+        ctx_ref[0] = jnp.where(row == col, ctx, 0.0).astype(ctx_ref.dtype)
+
+
+def _out_kernel(q_ref, ctx_ref, o_ref):
+    q = q_ref[0]                               # (TN, HD)
+    ctx = ctx_ref[0].astype(q.dtype)           # (HD, HD) block-diagonal
+    o_ref[0] = jnp.dot(q, ctx, preferred_element_type=jnp.float32
+                       ).astype(o_ref.dtype)
+
+
+def _pick_tile(n: int, target: int = 2048) -> int:
+    tile = min(n, target)
+    while n % tile:
+        tile //= 2
+    return max(tile, 1)
+
+
+def _fused_forward(q, k, v, dim_head: int, interpret: bool = False):
+    b, n, hd = q.shape
+    tn = _pick_tile(n)
+    nt = n // tn
+
+    tile = lambda i, j: (i, j, 0)
+    kv_spec = pl.BlockSpec((1, tn, hd), tile, memory_space=pltpu.VMEM)
+    ctx_spec = pl.BlockSpec((1, hd, hd), lambda i, j: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    ctx = pl.pallas_call(
+        partial(_ctx_kernel, dim_head=dim_head),
+        grid=(b, nt),
+        in_specs=[kv_spec, kv_spec],
+        out_specs=ctx_spec,
+        out_shape=jax.ShapeDtypeStruct((b, hd, hd), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((1, hd), jnp.float32),   # running max
+            pltpu.VMEM((1, hd), jnp.float32),   # running denominator
+            pltpu.VMEM((hd, hd), jnp.float32),  # accumulator
+        ],
         interpret=interpret,
-    )(q, k, v)
+    )(k, v)
+
+    return pl.pallas_call(
+        _out_kernel,
+        grid=(b, nt),
+        in_specs=[kv_spec, ctx_spec],
+        out_specs=kv_spec,
+        out_shape=jax.ShapeDtypeStruct((b, n, hd), q.dtype),
+        interpret=interpret,
+    )(q, ctx)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(3,))
-def linear_attention(q, k, v, interpret: bool = False):
-    """Fused linear attention over (BH, N, D) tensors."""
-    return _fused_forward(q, k, v, interpret)
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def linear_attention(q, k, v, dim_head: int = 32, interpret: bool = False):
+    """Fused linear attention over (B, N, heads*dim_head) tensors."""
+    return _fused_forward(q, k, v, dim_head, interpret)
 
 
-def _fwd(q, k, v, interpret):
-    return _fused_forward(q, k, v, interpret), (q, k, v)
+def _fwd(q, k, v, dim_head, interpret):
+    return _fused_forward(q, k, v, dim_head, interpret), (q, k, v)
 
 
-def _bwd(interpret, res, g):
+def _bwd(dim_head, interpret, res, g):
     q, k, v = res
-    _, vjp = jax.vjp(_reference_impl, q, k, v)
+    _, vjp = jax.vjp(partial(_reference_impl, dim_head=dim_head), q, k, v)
     return vjp(g)
 
 

@@ -2,38 +2,60 @@
 import numpy as np
 import jax
 import jax.numpy as jnp
+import pytest
 
 from dddpm_tpu.ops.pallas.linear_attention import (
+    _pick_tile,
     _reference_impl,
     linear_attention,
 )
 
 
-def test_linear_attention_matches_reference():
-    rng = jax.random.PRNGKey(0)
-    bh, n, d = 8, 64, 32
-    q = jax.random.normal(rng, (bh, n, d))
-    k = jax.random.normal(jax.random.fold_in(rng, 1), (bh, n, d))
-    v = jax.random.normal(jax.random.fold_in(rng, 2), (bh, n, d))
-    got = np.asarray(linear_attention(q, k, v, True))
-    want = np.asarray(_reference_impl(q, k, v))
-    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+def _qkv(key, b, n, hd):
+    ks = jax.random.split(key, 3)
+    return tuple(jax.random.normal(k, (b, n, hd)) for k in ks)
+
+
+def test_pick_tile():
+    assert _pick_tile(16384) == 2048
+    assert _pick_tile(256) == 256
+    assert _pick_tile(1024) == 1024
+    assert 3000 % _pick_tile(3000) == 0  # halves until it divides
+
+
+@pytest.mark.parametrize("n", [256, 1024, 4096])
+def test_linear_attention_matches_reference(n):
+    q, k, v = _qkv(jax.random.PRNGKey(0), 2, n, 128)
+    got = np.asarray(linear_attention(q, k, v, 32, True))
+    want = np.asarray(_reference_impl(q, k, v, 32))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_linear_attention_single_head():
+    q, k, v = _qkv(jax.random.PRNGKey(1), 2, 128, 32)
+    got = np.asarray(linear_attention(q, k, v, 32, True))
+    want = np.asarray(_reference_impl(q, k, v, 32))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_linear_attention_bf16():
+    q, k, v = (t.astype(jnp.bfloat16)
+               for t in _qkv(jax.random.PRNGKey(2), 1, 512, 128))
+    got = np.asarray(linear_attention(q, k, v, 32, True), np.float32)
+    want = np.asarray(_reference_impl(q, k, v, 32), np.float32)
+    np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
 
 
 def test_linear_attention_gradients_match_reference():
-    rng = jax.random.PRNGKey(3)
-    bh, n, d = 2, 16, 8
-    q = jax.random.normal(rng, (bh, n, d))
-    k = jax.random.normal(jax.random.fold_in(rng, 1), (bh, n, d))
-    v = jax.random.normal(jax.random.fold_in(rng, 2), (bh, n, d))
+    q, k, v = _qkv(jax.random.PRNGKey(3), 1, 64, 64)
 
-    f_fused = lambda q, k, v: jnp.sum(linear_attention(q, k, v, True) ** 2)
-    f_ref = lambda q, k, v: jnp.sum(_reference_impl(q, k, v) ** 2)
+    f_fused = lambda q, k, v: jnp.sum(linear_attention(q, k, v, 32, True) ** 2)
+    f_ref = lambda q, k, v: jnp.sum(_reference_impl(q, k, v, 32) ** 2)
     g_fused = jax.grad(f_fused, argnums=(0, 1, 2))(q, k, v)
     g_ref = jax.grad(f_ref, argnums=(0, 1, 2))(q, k, v)
     for a, b in zip(g_fused, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=1e-3, atol=1e-5)
+                                   rtol=1e-3, atol=1e-4)
 
 
 def test_unet_with_pallas_attention_matches_einsum_path():
@@ -50,7 +72,7 @@ def test_unet_with_pallas_attention_matches_einsum_path():
 
     import dddpm_tpu.ops.pallas.linear_attention as la
     orig = la._fused_forward
-    la._fused_forward = lambda q, k, v, interpret=False: orig(q, k, v, True)
+    la._fused_forward = lambda q, k, v, d, interpret=False: orig(q, k, v, d, True)
     try:
         net_pl = Unet(**kwargs, use_pallas=True)
         out_pl = net_pl.apply(params, x, t)
