@@ -91,19 +91,22 @@ class ChannelLayerNorm(nn.Module):
 
     Matches the reference quirk exactly: (x - mean) / (std + eps) * g + b
     (reference blocks.py:50-60 adds eps to the *std*, not the variance).
+    Params are declared in setup so the fused Pallas attention block can
+    consume them directly.
     """
 
     dim: int
     eps: float = 1e-5
 
-    @nn.compact
+    def setup(self):
+        self.g = self.param("g", nn.initializers.ones, (self.dim,))
+        self.b = self.param("b", nn.initializers.zeros, (self.dim,))
+
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        g = self.param("g", nn.initializers.ones, (self.dim,))
-        b = self.param("b", nn.initializers.zeros, (self.dim,))
         xf = x.astype(jnp.float32)
         mean = xf.mean(axis=-1, keepdims=True)
         var = xf.var(axis=-1, keepdims=True)  # biased
-        out = (xf - mean) / (jnp.sqrt(var) + self.eps) * g + b
+        out = (xf - mean) / (jnp.sqrt(var) + self.eps) * self.g + self.b
         return out.astype(x.dtype)
 
 
@@ -155,61 +158,102 @@ class ResnetBlock(nn.Module):
         return h + res
 
 
+class ConvParams1x1(nn.Module):
+    """Parameter container for a 1x1 conv, shaped/named exactly like
+    nn.Conv's (kernel (1, 1, in, out), optional bias (out,)) so
+    checkpoints are interchangeable with a module-based conv."""
+
+    in_features: int
+    features: int
+    use_bias: bool = True
+
+    def setup(self):
+        self.kernel = self.param(
+            "kernel", conv_kernel_init, (1, 1, self.in_features, self.features))
+        if self.use_bias:
+            self.bias = self.param(
+                "bias", bias_init_for(self.in_features), (self.features,))
+
+    @property
+    def matrix(self):
+        return self.kernel[0, 0]
+
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        y = x @ self.matrix.astype(x.dtype)
+        if self.use_bias:
+            y = y + self.bias.astype(x.dtype)
+        return y
+
+
 class LinearAttention(nn.Module):
     """Linear attention (softmax over keys' token axis).
 
     context[d, e] = sum_n softmax_n(k)[n, d] * v[n, e]
     out[n, e]     = sum_d context[d, e] * q[n, d]
 
-    Both contractions are (tokens x dim) matmuls — MXU-friendly; the
-    softmax + two einsums are fused by XLA (a Pallas fused kernel is
-    provided in ops/pallas for the hot path).
+    Both contractions are (tokens x dim) matmuls — MXU-friendly. The
+    1x1 qkv/out convs are explicit matmuls over flattened tokens (same
+    math, same param shapes as convs).
     """
 
     dim: int
     heads: int = 4
     dim_head: int = 32
     dtype: jnp.dtype = jnp.float32
-    use_pallas: bool = False
 
-    @nn.compact
+    def setup(self):
+        hidden = self.heads * self.dim_head
+        self.to_qkv = ConvParams1x1(self.dim, hidden * 3, use_bias=False)
+        self.to_out = ConvParams1x1(hidden, self.dim, use_bias=True)
+
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         b, h, w, c = x.shape
         hidden = self.heads * self.dim_head
-        qkv = conv1x1(hidden * 3, self.dim, use_bias=False, dtype=self.dtype,
-                      name="to_qkv")(x)
+        qkv = self.to_qkv(x.reshape(b, h * w, c))
         # split ordering matches the reference layout '(qkv heads c)'
         qkv = qkv.reshape(b, h * w, 3, self.heads, self.dim_head)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
 
-        if self.use_pallas:
-            from dddpm_tpu.ops.pallas.linear_attention import linear_attention
-
-            # heads stay folded in the lane axis: (B, N, heads*dim_head)
-            fold = lambda t: t.reshape(b, h * w, hidden)
-            out = linear_attention(fold(q), fold(k), fold(v), self.dim_head)
-            out = out.reshape(b, h * w, self.heads, self.dim_head)
-        else:
-            k = jax.nn.softmax(k.astype(jnp.float32), axis=1).astype(self.dtype)
-            context = jnp.einsum("bnhd,bnhe->bhde", k, v)
-            out = jnp.einsum("bhde,bnhd->bnhe", context, q)
-        out = out.reshape(b, h, w, hidden)
-        return conv1x1(self.dim, hidden, dtype=self.dtype, name="to_out")(out)
+        k = jax.nn.softmax(k.astype(jnp.float32), axis=1).astype(self.dtype)
+        context = jnp.einsum("bnhd,bnhe->bhde", k, v)
+        out = jnp.einsum("bhde,bnhd->bnhe", context, q)
+        out = self.to_out(out.reshape(b, h * w, hidden))
+        return out.reshape(b, h, w, self.dim)
 
 
 class PreNormLinearAttention(nn.Module):
-    """Residual(PreNorm(LinearAttention)) as used at every resolution."""
+    """Residual(PreNorm(LinearAttention)) as used at every resolution.
+
+    With use_pallas=True the whole block (LN -> qkv -> attention ->
+    out-proj -> residual) runs as the fused two-pass Pallas kernel in
+    ops/pallas/attention_block.py — the block is bandwidth-bound, and
+    fusion cuts its HBM traffic ~8x.  Both paths share identical
+    parameter structure.
+    """
 
     dim: int
     dtype: jnp.dtype = jnp.float32
     use_pallas: bool = False
 
-    @nn.compact
+    def setup(self):
+        self.norm = ChannelLayerNorm(self.dim)
+        self.attn = LinearAttention(self.dim, dtype=self.dtype)
+
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        h = ChannelLayerNorm(self.dim)(x)
-        h = LinearAttention(self.dim, dtype=self.dtype,
-                            use_pallas=self.use_pallas)(h)
-        return x + h
+        if self.use_pallas:
+            from dddpm_tpu.ops.pallas.attention_block import attention_block
+
+            b, h, w, c = x.shape
+            out = attention_block(
+                x.reshape(b, h * w, c),
+                self.norm.g, self.norm.b,
+                self.attn.to_qkv.matrix.astype(self.dtype),
+                self.attn.to_out.matrix.astype(self.dtype),
+                self.attn.to_out.bias.astype(jnp.float32),
+                self.attn.dim_head,
+            )
+            return out.reshape(b, h, w, c)
+        return x + self.attn(self.norm(x))
 
 
 class Downsample(nn.Module):

@@ -44,13 +44,20 @@ class Unet(nn.Module):
     @classmethod
     def from_config(cls, config: dict) -> "Unet":
         dtype = jnp.bfloat16 if config.get("compute_dtype") == "bfloat16" else jnp.float32
+        use_pallas = config.get("use_pallas_attention", "auto")
+        if use_pallas == "auto":
+            # fused kernel on real hardware; einsum path on CPU (where
+            # Pallas would fall back to the slow interpreter)
+            import jax
+
+            use_pallas = jax.default_backend() != "cpu"
         return cls(
             dim=config["unet_chan"],
             in_channels=config["unet_in"],
             dim_mults=tuple(config["unet_dims"]),
             dropout=config["unet_dropout"],
             dtype=dtype,
-            use_pallas=bool(config.get("use_pallas_attention", False)),
+            use_pallas=bool(use_pallas),
         )
 
     @nn.compact

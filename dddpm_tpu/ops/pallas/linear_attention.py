@@ -98,6 +98,7 @@ def _pick_tile(n: int, target: int = 2048) -> int:
 
 
 def _fused_forward(q, k, v, dim_head: int, interpret: bool = False):
+    interpret = interpret or jax.default_backend() == "cpu"
     b, n, hd = q.shape
     tn = _pick_tile(n)
     nt = n // tn

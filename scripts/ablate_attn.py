@@ -46,11 +46,9 @@ def main():
     orig_ln = B.ChannelLayerNorm.__call__
 
     def ln_bf16(self, x):
-        g = self.param("g", nn.initializers.ones, (self.dim,))
-        b = self.param("b", nn.initializers.zeros, (self.dim,))
-        mean = x.mean(axis=-1, keepdims=True)
-        var = x.var(axis=-1, keepdims=True)
-        return (x - mean) / (jnp.sqrt(var) + self.eps) * g + b
+        # flax LayerNorm in bf16 (submodule creation works in patched
+        # methods; self.param does not) — equivalent traffic profile
+        return nn.LayerNorm(epsilon=1e-5, dtype=x.dtype)(x)
 
     B.ChannelLayerNorm.__call__ = nn.compact(ln_bf16)
     try:

@@ -80,3 +80,45 @@ def test_unet_with_pallas_attention_matches_einsum_path():
         la._fused_forward = orig
     np.testing.assert_allclose(np.asarray(out_pl), np.asarray(out_ref),
                                rtol=2e-3, atol=1e-4)
+
+
+def test_fused_attention_block_matches_module_path():
+    """attention_block kernel == PreNormLinearAttention einsum path."""
+    from dddpm_tpu.models.blocks import PreNormLinearAttention
+
+    x = jax.random.normal(jax.random.PRNGKey(5), (2, 16, 16, 128))
+    mod = PreNormLinearAttention(dim=128, use_pallas=False)
+    params = mod.init(jax.random.PRNGKey(0), x)
+    want = mod.apply(params, x)
+
+    mod_pl = PreNormLinearAttention(dim=128, use_pallas=True)
+    got = mod_pl.apply(params, x)  # same params: structures are identical
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_fused_attention_block_wider_channels():
+    from dddpm_tpu.models.blocks import PreNormLinearAttention
+
+    x = jax.random.normal(jax.random.PRNGKey(6), (1, 8, 8, 256))
+    mod = PreNormLinearAttention(dim=256, use_pallas=False)
+    params = mod.init(jax.random.PRNGKey(0), x)
+    want = mod.apply(params, x)
+    got = PreNormLinearAttention(dim=256, use_pallas=True).apply(params, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_fused_attention_block_gradients():
+    from dddpm_tpu.models.blocks import PreNormLinearAttention
+
+    x = jax.random.normal(jax.random.PRNGKey(7), (1, 8, 8, 128))
+    mod = PreNormLinearAttention(dim=128, use_pallas=False)
+    params = mod.init(jax.random.PRNGKey(0), x)
+    mod_pl = PreNormLinearAttention(dim=128, use_pallas=True)
+
+    g_ref = jax.grad(lambda p: jnp.sum(mod.apply(p, x) ** 2))(params)
+    g_pl = jax.grad(lambda p: jnp.sum(mod_pl.apply(p, x) ** 2))(params)
+    for a, b in zip(jax.tree.leaves(g_pl), jax.tree.leaves(g_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-3)
