@@ -9,16 +9,21 @@ Reference baseline: 97 s for a 192-image batch on the reference's GPU
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Runs on whatever jax.devices() provides (the real TPU chip under the
 driver). Random-init weights — throughput does not depend on training.
+
+Each batch-size attempt runs in a fresh subprocess: after a TPU OOM the
+axon device stays wedged for the rest of the process, so in-process
+retries always fail.
 """
 import json
 import os
+import subprocess
 import sys
 import time
 
-import numpy as np
+REFERENCE_IMGS_PER_SEC = 192.0 / 97.0  # dDDPM x2 256^2, BASELINE.md
 
 
-def build(batch_size: int):
+def run(batch_size: int):
     import jax
     from dddpm_tpu.models.factory import build_model
     from dddpm_tpu.parallel.mesh import create_mesh
@@ -39,55 +44,48 @@ def build(batch_size: int):
     params = init_fn(jax.random.PRNGKey(0))
     mesh = create_mesh()
     sampler = make_bulk_sampler(process, mesh, batch_size)
-    return sampler, params
 
-
-def run(batch_size: int):
-    import jax
-
-    sampler, params = build(batch_size)
     rng = jax.random.PRNGKey(0)
-    # compile + warmup
-    out = sampler(params, rng)
+    out = sampler(params, rng)           # compile + warmup
     jax.block_until_ready(out)
-    # timed run
     start = time.perf_counter()
     out = sampler(params, jax.random.fold_in(rng, 1))
     jax.block_until_ready(out)
     elapsed = time.perf_counter() - start
-    return batch_size / elapsed, elapsed
+    return batch_size / elapsed, len(jax.devices())
 
 
-def main():
-    batch_size = int(os.environ.get("BENCH_BATCH", "192"))
-    reference_imgs_per_sec = 192.0 / 97.0  # dDDPM x2 256^2, BASELINE.md
-
-    while batch_size >= 8:
-        try:
-            imgs_per_sec, elapsed = run(batch_size)
-            break
-        except Exception as e:  # OOM on smaller chips: halve and retry
-            msg = str(e)
-            if ("RESOURCE_EXHAUSTED" in msg or "Out of memory" in msg
-                    or "exceeds" in msg or "UNAVAILABLE" in msg):
-                print(f"# batch {batch_size} OOM, retrying at {batch_size // 2}",
-                      file=sys.stderr)
-                batch_size //= 2
-            else:
-                raise
-    else:
-        raise RuntimeError("could not run benchmark even at batch 8")
-
-    import jax
-    n_chips = len(jax.devices())
+def emit(batch_size: int):
+    imgs_per_sec, n_chips = run(batch_size)
     value = imgs_per_sec / n_chips
     print(json.dumps({
         "metric": "dDDPM_x2_256px_sampling_imgs_per_sec_per_chip",
         "value": round(value, 4),
-        "unit": "imgs/sec/chip (1000-step reverse chain, bs "
-                f"{batch_size}, bf16)",
-        "vs_baseline": round(value / reference_imgs_per_sec, 4),
+        "unit": f"imgs/sec/chip (1000-step reverse chain, bs {batch_size}, "
+                "bf16, fused attention)",
+        "vs_baseline": round(value / REFERENCE_IMGS_PER_SEC, 4),
     }))
+
+
+def main():
+    if len(sys.argv) > 2 and sys.argv[1] == "--run":
+        emit(int(sys.argv[2]))
+        return
+
+    batch_size = int(os.environ.get("BENCH_BATCH", "192"))
+    while batch_size >= 8:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--run",
+             str(batch_size)],
+            capture_output=True, text=True, timeout=3000)
+        for line in proc.stdout.splitlines():
+            if line.startswith("{"):
+                print(line)
+                return
+        print(f"# batch {batch_size} failed, retrying at {batch_size // 2}",
+              file=sys.stderr)
+        batch_size //= 2
+    raise RuntimeError("could not run benchmark even at batch 8")
 
 
 if __name__ == "__main__":
