@@ -72,7 +72,7 @@ def main():
         emit(int(sys.argv[2]))
         return
 
-    batch_size = int(os.environ.get("BENCH_BATCH", "192"))
+    batch_size = int(os.environ.get("BENCH_BATCH", "96"))
     while batch_size >= 8:
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--run",
