@@ -93,7 +93,10 @@ def load_cifar(root: str, train: bool, fine: bool = False,
 
 def load_image_folder(folder: str, image_size: int,
                       extensions=("jpg", "jpeg", "png")) -> Tuple[np.ndarray, np.ndarray]:
-    """DatasetFolder-style loader: class subdirectories of images."""
+    """DatasetFolder-style loader: class subdirectories of images.
+
+    Images are found recursively below each class directory (omniglot
+    nests alphabet/character/*.png)."""
     from PIL import Image
 
     classes = sorted(
@@ -102,7 +105,8 @@ def load_image_folder(folder: str, image_size: int,
     paths: List[Tuple[str, int]] = []
     for ci, cls in enumerate(classes):
         for ext in extensions:
-            for p in sorted(glob.glob(os.path.join(folder, cls, f"*.{ext}"))):
+            pattern = os.path.join(folder, cls, "**", f"*.{ext}")
+            for p in sorted(glob.glob(pattern, recursive=True)):
                 paths.append((p, ci))
     if not paths:
         raise FileNotFoundError(f"no images under {folder}")

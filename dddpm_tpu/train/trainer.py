@@ -196,8 +196,32 @@ class Trainer:
         self._metric_buffer = []
         self.logger.flush()
 
-    def train_loop(self):
+    def _install_preemption_handler(self):
+        """Checkpoint on SIGTERM/SIGINT — preemption-aware training
+        (SURVEY.md §5: the idiomatic TPU extension over the reference's
+        manual resume)."""
+        import signal
+
+        def handler(signum, frame):
+            self._flush_metrics(self.step)
+            self.save_checkpoint()
+            print(f"caught signal {signum}: checkpoint saved at step "
+                  f"{self.step}, exiting")
+            raise SystemExit(128 + signum)
+
+        for sig in (signal.SIGTERM, signal.SIGINT):
+            try:
+                signal.signal(sig, handler)
+            except ValueError:  # not in main thread
+                pass
+
+    def train_loop(self, profile_dir: Optional[str] = None):
+        self._install_preemption_handler()
         while self.step < self.n_steps:
+            if profile_dir is not None and self.step == 10:
+                jax.profiler.start_trace(profile_dir)
+            if profile_dir is not None and self.step == 20:
+                jax.profiler.stop_trace()
             batch = self._next_batch()
             self.state, metrics = self._step_fn(self.state, batch)
             self.timer.mark()
