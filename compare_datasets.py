@@ -12,6 +12,11 @@ import numpy as np
 from dddpm_tpu.evaluation.evaluator import Evaluator
 
 
+from dddpm_tpu.utils.platform import maybe_force_platform
+
+maybe_force_platform()
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--batch1", required=True)

@@ -13,6 +13,11 @@ import numpy as np
 from dddpm_tpu.data.pipeline import get_dataloader
 
 
+from dddpm_tpu.utils.platform import maybe_force_platform
+
+maybe_force_platform()
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("-d", default="cifar10", dest="dataset")

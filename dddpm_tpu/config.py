@@ -89,6 +89,8 @@ def build_config(args_dict: Dict) -> Dict:
     if config["model"] == "ddpm" and config.get("n_downsamples", 0) > 0:
         config["model"] = "dddpm"
         config = modify_config(config, dict(CONFIG_MODEL["dddpm"]))
+    if config.pop("T_override", None):
+        config["T"] = args_dict["T_override"]
     return config
 
 
@@ -123,6 +125,8 @@ def get_args(
     )
     # TPU-native extensions
     parser.add_argument("--data-root", default="../data/", type=str, dest="data_root")
+    parser.add_argument("--T", default=None, type=int, dest="T_override",
+                        help="override the number of diffusion steps T")
     parser.add_argument("--compute-dtype", default="bfloat16", type=str,
                         choices=["bfloat16", "float32"], dest="compute_dtype")
     parser.add_argument("--seed", default=0, type=int, dest="seed")

@@ -21,6 +21,11 @@ from dddpm_tpu.train import checkpoint as ckpt
 from dddpm_tpu.train.state import create_optimizer, create_train_state
 
 
+from dddpm_tpu.utils.platform import maybe_force_platform
+
+maybe_force_platform()
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--checkpoint", required=True)

@@ -12,6 +12,11 @@ from dddpm_tpu.train.trainer import setup_trainer
 WANDB_PROJECT = "ddpm-test"
 
 
+from dddpm_tpu.utils.platform import maybe_force_platform
+
+maybe_force_platform()
+
+
 def main():
     config, mute = get_args()
     trainer, config = setup_trainer(

@@ -14,6 +14,11 @@ from dddpm_tpu.train.trainer import setup_trainer
 WANDB_PROJECT = "ddpm-test"
 
 
+from dddpm_tpu.utils.platform import maybe_force_platform
+
+maybe_force_platform()
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--checkpoint", required=True, help="checkpoint directory")
