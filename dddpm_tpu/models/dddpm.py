@@ -85,6 +85,14 @@ class DownsampleDiffusion(GaussianDiffusion):
         x_sample = self.rescaled_upsample(params, z_sample)
         return x_sample, z_sample
 
+    def ddim_sample(self, params, rng, batch_size: int = 16,
+                    num_steps: int = 50, eta: float = 0.0):
+        """Strided DDIM chain in latent space, then one upsample."""
+        z_sample = self.ddim_sample_loop(
+            params, rng, (batch_size, *self.sample_shape), num_steps, eta)
+        x_sample = self.rescaled_upsample(params, z_sample)
+        return x_sample, z_sample
+
     def reconstruct(self, params, rng, x, n: int):
         """(x_recon, z_recon) at n linearly spaced noise scales."""
         x = x[:n]

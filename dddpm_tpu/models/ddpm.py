@@ -141,6 +141,53 @@ class GaussianDiffusion:
             params, rng, (batch_size, *self.sample_shape), early_stop
         )
 
+    def ddim_sample_loop(self, params, rng, shape, num_steps: int = 50,
+                         eta: float = 0.0):
+        """DDIM sampling (Song et al.) over a strided t-subsequence.
+
+        Beyond-parity extension: the reference accepts an (unused)
+        `every` stride arg (ddpm.py:230) but never implements strided
+        sampling; this is the TPU-native version — one lax.scan over
+        the tau subsequence, deterministic when eta=0.
+
+          x_prev = sqrt(ab_prev) x0 + sqrt(1 - ab_prev - sigma^2) eps
+                   + sigma z
+          sigma  = eta sqrt((1-ab_prev)/(1-ab)) sqrt(1 - ab/ab_prev)
+        """
+        s = self.schedule
+        rng, init_rng = jax.random.split(rng)
+        img = jax.random.normal(init_rng, shape, jnp.float32)
+
+        taus = jnp.linspace(0, self.timesteps - 1, num_steps).round(
+        ).astype(jnp.int32)[::-1]               # T-1 ... 0
+        taus_prev = jnp.concatenate([taus[1:], jnp.array([-1], jnp.int32)])
+
+        def step(img, tt):
+            t, t_prev = tt
+            t_b = jnp.full((shape[0],), t, dtype=jnp.int32)
+            eps_hat = self.eps_fn(params, img, t_b, None, False)
+            x0 = self.predict_x_from_eps(img, t_b, eps_hat, clip=True)
+
+            ab = s.alphas_cumprod[t]
+            ab_prev = jnp.where(t_prev < 0, 1.0, s.alphas_cumprod[t_prev])
+            sigma = (eta
+                     * jnp.sqrt((1.0 - ab_prev) / (1.0 - ab))
+                     * jnp.sqrt(1.0 - ab / ab_prev))
+            dir_xt = jnp.sqrt(jnp.maximum(1.0 - ab_prev - sigma**2, 0.0))
+            noise = jax.random.normal(jax.random.fold_in(rng, t), shape,
+                                      img.dtype)
+            img = (jnp.sqrt(ab_prev) * x0 + dir_xt * eps_hat
+                   + sigma * noise)
+            return img, None
+
+        img, _ = lax.scan(step, img, (taus, taus_prev))
+        return img
+
+    def ddim_sample(self, params, rng, batch_size: int = 16,
+                    num_steps: int = 50, eta: float = 0.0):
+        return self.ddim_sample_loop(
+            params, rng, (batch_size, *self.sample_shape), num_steps, eta)
+
     def reconstruct(self, params, rng, x, n: int):
         """One-step denoised reconstructions at n linearly spaced t."""
         x = x[:n]

@@ -28,14 +28,23 @@ def fix_samples(samples) -> np.ndarray:
 
 
 def make_bulk_sampler(process, mesh: Mesh, batch_size: int,
-                      early_stop: Optional[int] = None) -> Callable:
-    """Jitted sampler with the output batch sharded over the mesh."""
+                      early_stop: Optional[int] = None,
+                      ddim_steps: Optional[int] = None,
+                      ddim_eta: float = 0.0) -> Callable:
+    """Jitted sampler with the output batch sharded over the mesh.
+
+    ddim_steps selects the strided DDIM sampler instead of the full
+    ancestral chain.
+    """
     sharding = NamedSharding(mesh, P("data"))
     is_downsampled = isinstance(process, DownsampleDiffusion)
     out_sh = (sharding, sharding) if is_downsampled else sharding
 
     @partial(jax.jit, out_shardings=out_sh)
     def sampler(params, rng):
+        if ddim_steps is not None:
+            return process.ddim_sample(params, rng, batch_size,
+                                       ddim_steps, ddim_eta)
         return process.sample(params, rng, batch_size, early_stop)
 
     return sampler
@@ -49,6 +58,8 @@ def generate_samples(
     fid_samples: int = 50000,
     batch_size: int = 192,
     early_stop: Optional[int] = None,
+    ddim_steps: Optional[int] = None,
+    ddim_eta: float = 0.0,
     progress: bool = True,
 ) -> Tuple[np.ndarray, Optional[np.ndarray], Dict[str, float]]:
     """Generate >= fid_samples images; returns (samples, latents, timing).
@@ -56,7 +67,8 @@ def generate_samples(
     Output arrays have shape (n_batches, B, H, W, C) scaled to [0, 255],
     byte-compatible with the reference's npy sample batches.
     """
-    sampler = make_bulk_sampler(process, mesh, batch_size, early_stop)
+    sampler = make_bulk_sampler(process, mesh, batch_size, early_stop,
+                                ddim_steps, ddim_eta)
     is_downsampled = isinstance(process, DownsampleDiffusion)
     n_batches = int(np.ceil(fid_samples / batch_size))
 

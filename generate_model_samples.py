@@ -35,6 +35,10 @@ def main():
     p.add_argument("--out", default="results/samples")
     p.add_argument("--latent-out", default="results/samples_latent")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--ddim-steps", type=int, default=None,
+                   help="use strided DDIM sampling with this many steps "
+                        "instead of the full ancestral chain")
+    p.add_argument("--ddim-eta", type=float, default=0.0)
     args = p.parse_args()
 
     config = ckpt.load_config(args.checkpoint)
@@ -61,7 +65,8 @@ def main():
 
     samples, latents, timing = generate_samples(
         process, params, mesh, jax.random.PRNGKey(args.seed),
-        args.fid_samples, args.batch_size)
+        args.fid_samples, args.batch_size,
+        ddim_steps=args.ddim_steps, ddim_eta=args.ddim_eta)
 
     print(f"Using batch size {args.batch_size}")
     print(f"Total time: {timing['total_s']}")

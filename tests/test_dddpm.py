@@ -215,3 +215,12 @@ def test_ddpm_factory_plain():
     obj, metrics = proc.loss_fn(params, jax.random.PRNGKey(2), x, train=False)
     assert np.isfinite(float(obj))
     assert set(metrics) == {"train_obj"}
+
+
+def test_ddim_sample_returns_both_spaces(dddpm):
+    _, proc, params = dddpm
+    x_s, z_s = proc.ddim_sample(params, jax.random.PRNGKey(30), batch_size=2,
+                                num_steps=5)
+    assert x_s.shape == (2, 16, 16, 1)
+    assert z_s.shape == (2, 8, 8, 4)
+    assert np.isfinite(np.asarray(x_s)).all()

@@ -203,3 +203,41 @@ def test_t_sample_range(setup):
     t = np.asarray(proc.t_sample(jax.random.PRNGKey(16), 1000))
     assert t.min() >= 0 and t.max() <= T - 1
     assert len(np.unique(t)) > T // 2  # roughly uniform coverage
+
+
+def test_ddim_shapes_and_determinism(setup):
+    proc, params = setup
+    rng = jax.random.PRNGKey(20)
+    s1 = proc.ddim_sample(params, rng, batch_size=2, num_steps=5)
+    s2 = proc.ddim_sample(params, rng, batch_size=2, num_steps=5)
+    assert s1.shape == (2, SIZE, SIZE, CH)
+    # eta=0 is deterministic given the init noise
+    np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
+    assert np.isfinite(np.asarray(s1)).all()
+
+
+def test_ddim_fewer_steps_changes_result_not_shape(setup):
+    proc, params = setup
+    rng = jax.random.PRNGKey(21)
+    s5 = proc.ddim_sample(params, rng, batch_size=1, num_steps=5)
+    s10 = proc.ddim_sample(params, rng, batch_size=1, num_steps=10)
+    assert s5.shape == s10.shape
+    assert np.abs(np.asarray(s5) - np.asarray(s10)).max() > 1e-6
+
+
+def test_ddim_final_step_returns_x0_prediction(setup):
+    """At the last step (t_prev=-1, ab_prev=1, eta=0) the update reduces
+    to the clipped x0 prediction, so output stays in [-1, 1]."""
+    proc, params = setup
+    out = proc.ddim_sample(params, jax.random.PRNGKey(22), batch_size=2,
+                           num_steps=4)
+    a = np.asarray(out)
+    assert a.min() >= -1.0 - 1e-5 and a.max() <= 1.0 + 1e-5
+
+
+def test_ddim_eta_adds_stochasticity(setup):
+    proc, params = setup
+    r = jax.random.PRNGKey(23)
+    det = proc.ddim_sample_loop(params, r, (1, SIZE, SIZE, CH), 5, eta=0.0)
+    sto = proc.ddim_sample_loop(params, r, (1, SIZE, SIZE, CH), 5, eta=1.0)
+    assert np.abs(np.asarray(det) - np.asarray(sto)).max() > 1e-5
