@@ -40,6 +40,7 @@ class Unet(nn.Module):
     dropout: float = 0.0
     dtype: jnp.dtype = jnp.float32
     use_pallas: bool = False
+    remat: bool = False
 
     @classmethod
     def from_config(cls, config: dict) -> "Unet":
@@ -58,6 +59,7 @@ class Unet(nn.Module):
             dropout=config["unet_dropout"],
             dtype=dtype,
             use_pallas=bool(use_pallas),
+            remat=bool(config.get("remat", False)),
         )
 
     @nn.compact
@@ -70,6 +72,18 @@ class Unet(nn.Module):
 
         t_emb = TimeMLP(self.dim)(t)
 
+        # rematerialize ResnetBlocks under grad: trades recompute for
+        # activation memory on the big 256^2 training configs.
+        # Explicit names keep the param tree identical to the non-remat
+        # path (nn.remat would otherwise prefix module names).
+        rb_cls = nn.remat(ResnetBlock) if self.remat else ResnetBlock
+        rb_idx = [0]
+
+        def RB(*args, **kwargs):
+            mod = rb_cls(*args, **kwargs, name=f"ResnetBlock_{rb_idx[0]}")
+            rb_idx[0] += 1
+            return mod
+
         orig_dtype = x.dtype
         x = x.astype(self.dtype)
 
@@ -77,9 +91,9 @@ class Unet(nn.Module):
         skips = []
         for ind, (dim_in, dim_out) in enumerate(in_out):
             is_last = ind >= num_resolutions - 1
-            x = ResnetBlock(dim_in, dim_out, dropout=self.dropout,
+            x = RB(dim_in, dim_out, dropout=self.dropout,
                             dtype=self.dtype)(x, t_emb, deterministic)
-            x = ResnetBlock(dim_out, dim_out, dropout=self.dropout,
+            x = RB(dim_out, dim_out, dropout=self.dropout,
                             dtype=self.dtype)(x, t_emb, deterministic)
             x = PreNormLinearAttention(dim_out, dtype=self.dtype,
                                        use_pallas=self.use_pallas)(x)
@@ -89,17 +103,17 @@ class Unet(nn.Module):
 
         # bottom
         mid_dim = dims[-1]
-        x = ResnetBlock(mid_dim, mid_dim, dtype=self.dtype)(x, t_emb, deterministic)
+        x = RB(mid_dim, mid_dim, dtype=self.dtype)(x, t_emb, deterministic)
         x = PreNormLinearAttention(mid_dim, dtype=self.dtype,
                                    use_pallas=self.use_pallas)(x)
-        x = ResnetBlock(mid_dim, mid_dim, dtype=self.dtype)(x, t_emb, deterministic)
+        x = RB(mid_dim, mid_dim, dtype=self.dtype)(x, t_emb, deterministic)
 
         # expansive path (reference iterates reversed(in_out[1:]))
         for dim_in, dim_out in reversed(in_out[1:]):
             x = jnp.concatenate([x, skips.pop().astype(self.dtype)], axis=-1)
-            x = ResnetBlock(dim_out * 2, dim_in, dtype=self.dtype)(x, t_emb,
+            x = RB(dim_out * 2, dim_in, dtype=self.dtype)(x, t_emb,
                                                                    deterministic)
-            x = ResnetBlock(dim_in, dim_in, dtype=self.dtype)(x, t_emb,
+            x = RB(dim_in, dim_in, dtype=self.dtype)(x, t_emb,
                                                               deterministic)
             x = PreNormLinearAttention(dim_in, dtype=self.dtype,
                                        use_pallas=self.use_pallas)(x)

@@ -104,3 +104,27 @@ def test_from_config():
            "unet_dropout": 0.1, "compute_dtype": "bfloat16"}
     model = Unet.from_config(cfg)
     assert model.dim == 16 and model.dtype == jnp.bfloat16
+
+
+def test_remat_preserves_values_params_and_grads():
+    """nn.remat variant: same param tree, same outputs, same grads."""
+    kwargs = dict(dim=16, in_channels=3, dim_mults=(1, 2), dropout=0.0)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 16, 16, 3))
+    t = jnp.array([0, 7], dtype=jnp.int32)
+
+    net = Unet(**kwargs, remat=False)
+    net_r = Unet(**kwargs, remat=True)
+    params = net.init(jax.random.PRNGKey(0), x, t)
+    params_r = net_r.init(jax.random.PRNGKey(0), x, t)
+    assert jax.tree_util.tree_structure(params) == \
+        jax.tree_util.tree_structure(params_r)
+
+    np.testing.assert_allclose(np.asarray(net.apply(params, x, t)),
+                               np.asarray(net_r.apply(params, x, t)),
+                               rtol=1e-5, atol=1e-6)
+
+    g = jax.grad(lambda p: jnp.sum(net.apply(p, x, t) ** 2))(params)
+    g_r = jax.grad(lambda p: jnp.sum(net_r.apply(p, x, t) ** 2))(params)
+    for a, b in zip(jax.tree.leaves(g), jax.tree.leaves(g_r)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
