@@ -24,8 +24,8 @@ def main():
     p.add_argument("--inception-weights", default=None)
     args = p.parse_args()
 
-    b1 = np.load(args.batch1)
-    b2 = np.load(args.batch2)
+    b1 = np.load(args.batch1, mmap_mode="r")
+    b2 = np.load(args.batch2, mmap_mode="r")
     evaluator = Evaluator(args.inception_weights)
     metrics = evaluator.evaluate(b1, b2)
     print(json.dumps(metrics, indent=2))

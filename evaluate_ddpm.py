@@ -60,8 +60,9 @@ def main():
         metrics["vlb"] = vlb
         metrics["L_simple"] = l_simple
 
-    samples = np.load(args.samples)
-    reference = np.load(args.reference)
+    # mmap: 50k 256^2 sample files are ~10GB; activations stream in batches
+    samples = np.load(args.samples, mmap_mode="r")
+    reference = np.load(args.reference, mmap_mode="r")
     evaluator = Evaluator(args.inception_weights)
     metrics.update(evaluator.evaluate(reference, samples))
 
