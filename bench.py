@@ -20,6 +20,8 @@ import subprocess
 import sys
 import time
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 REFERENCE_IMGS_PER_SEC = 192.0 / 97.0  # dDDPM x2 256^2, BASELINE.md
 
 

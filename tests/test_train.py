@@ -185,3 +185,35 @@ def test_trainer_dddpm_metrics(tmp_path):
     with open(trainer.logger.metrics_path) as f:
         rows = [json.loads(l) for l in f]
     assert {"train_obj", "train_latent", "train_recon"} <= set(rows[0])
+
+
+def test_loss_gradient_finite_difference():
+    """Central finite differences vs jax.grad on a few scalar params —
+    validates the whole loss graph (q_sample, UNet, reduction)."""
+    net, proc, init_fn, cfg = build_model(dict(CFG))
+    params = init_fn(jax.random.PRNGKey(0))
+    x = jax.random.uniform(jax.random.PRNGKey(1), (2, 8, 8, 3),
+                           minval=-1, maxval=1)
+    rng = jax.random.PRNGKey(2)
+    t = jnp.array([3, 7])
+
+    def loss(p):
+        return proc.losses(p, rng, x, t, train=False)
+
+    g = jax.grad(loss)(params)
+
+    flat, unflatten = jax.flatten_util.ravel_pytree(params)
+    g_flat, _ = jax.flatten_util.ravel_pytree(g)
+    f = lambda v: float(loss(unflatten(v)))
+
+    # directional derivatives: strong signal beats f32 FD noise
+    dirs = [g_flat / jnp.linalg.norm(g_flat)]
+    rs = np.random.RandomState(0)
+    for _ in range(2):
+        v = jnp.asarray(rs.randn(flat.shape[0]), jnp.float32)
+        dirs.append(v / jnp.linalg.norm(v))
+    eps = 1e-2
+    for v in dirs:
+        fd = (f(flat + eps * v) - f(flat - eps * v)) / (2 * eps)
+        analytic = float(g_flat @ v)
+        np.testing.assert_allclose(fd, analytic, rtol=0.05, atol=5e-3)
