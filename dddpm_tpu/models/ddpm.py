@@ -141,8 +141,24 @@ class GaussianDiffusion:
             params, rng, (batch_size, *self.sample_shape), early_stop
         )
 
+    def ddim_taus(self, num_steps: int, spacing: str = "linear"):
+        """Descending tau subsequence. 'linear' spaces uniformly;
+        'quad' concentrates steps near t=0 (DDIM paper's CIFAR
+        schedule: linspace(0, sqrt(0.8 T), S)^2)."""
+        import numpy as np
+
+        if spacing == "linear":
+            taus = np.linspace(0, self.timesteps - 1, num_steps)
+        elif spacing == "quad":
+            taus = np.linspace(0, np.sqrt(self.timesteps * 0.8),
+                               num_steps) ** 2
+        else:
+            raise ValueError(f"unknown tau spacing '{spacing}'")
+        taus = np.unique(taus.round().astype(np.int32))
+        return jnp.asarray(taus[::-1].copy())
+
     def ddim_sample_loop(self, params, rng, shape, num_steps: int = 50,
-                         eta: float = 0.0):
+                         eta: float = 0.0, spacing: str = "linear"):
         """DDIM sampling (Song et al.) over a strided t-subsequence.
 
         Beyond-parity extension: the reference accepts an (unused)
@@ -158,8 +174,7 @@ class GaussianDiffusion:
         rng, init_rng = jax.random.split(rng)
         img = jax.random.normal(init_rng, shape, jnp.float32)
 
-        taus = jnp.linspace(0, self.timesteps - 1, num_steps).round(
-        ).astype(jnp.int32)[::-1]               # T-1 ... 0
+        taus = self.ddim_taus(num_steps, spacing)  # T-1 ... 0
         taus_prev = jnp.concatenate([taus[1:], jnp.array([-1], jnp.int32)])
 
         def step(img, tt):
@@ -184,9 +199,11 @@ class GaussianDiffusion:
         return img
 
     def ddim_sample(self, params, rng, batch_size: int = 16,
-                    num_steps: int = 50, eta: float = 0.0):
+                    num_steps: int = 50, eta: float = 0.0,
+                    spacing: str = "linear"):
         return self.ddim_sample_loop(
-            params, rng, (batch_size, *self.sample_shape), num_steps, eta)
+            params, rng, (batch_size, *self.sample_shape), num_steps, eta,
+            spacing)
 
     def reconstruct(self, params, rng, x, n: int):
         """One-step denoised reconstructions at n linearly spaced t."""

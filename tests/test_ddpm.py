@@ -241,3 +241,21 @@ def test_ddim_eta_adds_stochasticity(setup):
     det = proc.ddim_sample_loop(params, r, (1, SIZE, SIZE, CH), 5, eta=0.0)
     sto = proc.ddim_sample_loop(params, r, (1, SIZE, SIZE, CH), 5, eta=1.0)
     assert np.abs(np.asarray(det) - np.asarray(sto)).max() > 1e-5
+
+
+def test_ddim_tau_spacings(setup):
+    proc, params = setup
+    lin = np.asarray(proc.ddim_taus(5, "linear"))
+    quad = np.asarray(proc.ddim_taus(5, "quad"))
+    for taus in (lin, quad):
+        assert taus[0] >= taus[-1]  # descending
+        assert taus[-1] == 0
+        assert (np.diff(taus) < 0).all()
+    assert lin[0] == T - 1
+    # quad concentrates points near t=0: its mid values sit lower
+    assert quad[1:-1].mean() <= lin[1:-1].mean()
+    with pytest.raises(ValueError):
+        proc.ddim_taus(5, "cubic")
+    out = proc.ddim_sample(params, jax.random.PRNGKey(40), batch_size=1,
+                           num_steps=5, spacing="quad")
+    assert np.isfinite(np.asarray(out)).all()
