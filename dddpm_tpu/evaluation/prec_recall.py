@@ -8,7 +8,6 @@ graph + ThreadPool row partitioning.
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import Tuple
 
 import numpy as np

@@ -8,7 +8,7 @@ config['ae_loss'].
 """
 from __future__ import annotations
 
-from typing import Callable, Tuple
+from typing import Callable
 
 import numpy as np
 import jax

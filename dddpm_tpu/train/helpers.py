@@ -6,7 +6,6 @@ VAE-family trainers the config system still describes.
 """
 from __future__ import annotations
 
-import math
 import os
 from typing import List
 

@@ -16,7 +16,6 @@ TPU-first differences:
 from __future__ import annotations
 
 import os
-from functools import partial
 from typing import Dict, Optional
 
 import numpy as np
@@ -29,12 +28,11 @@ from dddpm_tpu.models.factory import build_model, param_count
 from dddpm_tpu.parallel.mesh import create_mesh, replicated
 from dddpm_tpu.train import checkpoint as ckpt
 from dddpm_tpu.train.state import (
-    TrainState,
     create_optimizer,
     create_train_state,
     make_train_step,
 )
-from dddpm_tpu.utils.logging import LOGGING_DIR, RunLogger, generate_run_id
+from dddpm_tpu.utils.logging import RunLogger, generate_run_id
 from dddpm_tpu.utils.rng import seed_everything
 from dddpm_tpu.utils.timing import StepTimer
 
