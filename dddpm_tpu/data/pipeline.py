@@ -92,6 +92,32 @@ class Loader:
             yield from iter(self)
 
 
+def prefetch(iterator: Iterator, size: int = 2) -> Iterator:
+    """Background-thread prefetch: overlap host batch prep with device
+    compute (the TPU-side analogue of the reference's num_workers=4
+    DataLoader processes, utils/data.py:153)."""
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=size)
+    sentinel = object()
+
+    def producer():
+        try:
+            for item in iterator:
+                q.put(item)
+        finally:
+            q.put(sentinel)
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is sentinel:
+            return
+        yield item
+
+
 def get_dataloader(
     config: dict,
     train: bool = True,

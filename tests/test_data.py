@@ -143,3 +143,15 @@ def test_resize_center_crop_via_loader():
     train, _ = get_dataloader(cfg, True)
     x, _ = next(iter(train))
     assert x.shape == (4, 12, 12, 3)
+
+
+def test_prefetch_preserves_order_and_terminates():
+    from dddpm_tpu.data.pipeline import prefetch
+
+    items = list(prefetch(iter(range(10)), size=3))
+    assert items == list(range(10))
+    # and over a finite loader epoch
+    imgs, labels = make_synthetic(8, 3, n=16)
+    loader = Loader(imgs, labels, batch_size=8, shuffle=False)
+    batches = list(prefetch(iter(loader)))
+    assert len(batches) == 2

@@ -124,3 +124,53 @@ def test_evaluator_end_to_end(extractor):
         assert k in metrics
         assert np.isfinite(metrics[k]) or k in ("fid", "sfid")
     assert metrics["inception_weights"] == "random-init"
+
+
+def test_compute_test_losses_helper():
+    import jax
+    import jax.numpy as jnp
+    from dddpm_tpu.evaluation.helpers import compute_test_losses, generator_batches
+    from dddpm_tpu.models.factory import build_model
+    from dddpm_tpu.data.pipeline import get_dataloader
+
+    cfg = {"model": "ddpm", "dataset": "synthetic", "image_size": 8,
+           "batch_size": 8, "T": 5, "loss_type": "simple",
+           "beta_schedule": "cosine", "loss_flat": "sum",
+           "unet_chan": 8, "unet_dims": (1, 2), "unet_dropout": 0.0,
+           "compute_dtype": "float32", "rnd_flip": False}
+    net, proc, init_fn, cfg = build_model(cfg)
+    params = init_fn(jax.random.PRNGKey(0))
+    test_loader = get_dataloader(cfg, False)
+    vlb, l_simple = compute_test_losses(proc, params, jax.random.PRNGKey(1),
+                                        test_loader, max_batches=2)
+    assert np.isfinite(vlb) and vlb > 0       # bits/dim
+    assert np.isfinite(l_simple) and l_simple > 0
+
+    # generator_batches expects an eval-transform ([0,1]) loader
+    eval_loader = get_dataloader(cfg, False, train_transform=False)
+    batch = next(generator_batches(eval_loader))
+    assert batch.min() >= 0 and batch.max() <= 255 and batch.max() > 1
+
+
+def test_inception_npz_weight_loading(tmp_path, extractor):
+    import jax
+    from dddpm_tpu.evaluation.inception import load_params_npz
+
+    # export a couple of real template leaves to an npz and reload them
+    flat = jax.tree_util.tree_flatten_with_path(extractor.params)[0]
+    entries = {}
+    for path_keys, leaf in flat[:3]:
+        key = "/".join(getattr(p, "key", str(p)) for p in path_keys)
+        entries[key] = np.full(leaf.shape, 0.123, np.float32)
+    npz = str(tmp_path / "w.npz")
+    np.savez(npz, **entries)
+
+    loaded = load_params_npz(npz, extractor.params)
+    flat_l = jax.tree_util.tree_flatten_with_path(loaded)[0]
+    replaced = 0
+    for (path_keys, leaf) in flat_l:
+        key = "/".join(getattr(p, "key", str(p)) for p in path_keys)
+        if key in entries:
+            np.testing.assert_allclose(np.asarray(leaf), 0.123, rtol=1e-6)
+            replaced += 1
+    assert replaced == 3
