@@ -130,6 +130,10 @@ def build_model(config: dict):
             f"to data color channels {color_channels}."
         )
         dim_reduc = int(2 ** config["n_downsamples"])
+        if size % dim_reduc:
+            raise ValueError(
+                f"image_size {size} is not divisible by the downsample "
+                f"factor 2^{config['n_downsamples']} = {dim_reduc}")
         z_size = size // dim_reduc
         net = DDDPMNet(config=config)
         cls = (DownsampleDiffusionAutoencoder if config["ae_loss"]
