@@ -1,18 +1,22 @@
-"""Benchmark: the repo's headline metric — dDDPM x2 CelebA-HQ-256
-batch sampling throughput (1000-step reverse chain in the 128^2 latent
-space + conv upsample to 256^2).
+"""Benchmark: the repo's headline metrics.
 
-Reference baseline: 97 s for a 192-image batch on the reference's GPU
-(notebooks Sampling Time Visualizations, st_x2; BASELINE.md) =
-1.979 imgs/sec.  vs_baseline = ours / reference.
+1. dDDPM x2 CelebA-HQ-256 batch sampling throughput (1000-step reverse
+   chain in the 128^2 latent space + conv upsample to 256^2).
+   Reference baseline: 97 s for a 192-image batch on the reference's
+   GPU (notebooks Sampling Time Visualizations, st_x2; BASELINE.md) =
+   1.979 imgs/sec.  vs_baseline = ours / reference.
+2. dDDPM x3 CelebA-HQ-256 train-step throughput (BASELINE.json's other
+   north-star: "train imgs/sec"; the 800k-step bs-32 recipe,
+   README.md:23) — reported in the same record under "train".
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-Runs on whatever jax.devices() provides (the real TPU chip under the
-driver). Random-init weights — throughput does not depend on training.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline",
+"train": {...}}.  Runs on whatever jax.devices() provides (the real TPU
+chip under the driver).  Random-init weights — throughput does not
+depend on training.
 
-Each batch-size attempt runs in a fresh subprocess: after a TPU OOM the
-axon device stays wedged for the rest of the process, so in-process
-retries always fail.
+Each attempt runs in a fresh subprocess: after a TPU OOM the axon
+device stays wedged for the rest of the process, so in-process retries
+always fail.
 """
 import json
 import os
@@ -25,13 +29,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 REFERENCE_IMGS_PER_SEC = 192.0 / 97.0  # dDDPM x2 256^2, BASELINE.md
 
 
-def run(batch_size: int):
-    import jax
-    from dddpm_tpu.models.factory import build_model
-    from dddpm_tpu.parallel.mesh import create_mesh
-    from dddpm_tpu.sample import make_bulk_sampler
-
-    config = {
+def _sample_config(batch_size: int) -> dict:
+    return {
         "model": "dddpm", "dataset": "celeba_hq", "image_size": 256,
         "batch_size": batch_size, "T": 1000, "loss_type": "simple",
         "beta_schedule": "linear", "loss_flat": "sum",
@@ -42,7 +41,15 @@ def run(batch_size: int):
         "ae_loss": True, "t_rec_max": 100, "force_latent": True,
         "compute_dtype": "bfloat16",
     }
-    net, process, init_fn, config = build_model(config)
+
+
+def run_sampling(batch_size: int):
+    import jax
+    from dddpm_tpu.models.factory import build_model
+    from dddpm_tpu.parallel.mesh import create_mesh
+    from dddpm_tpu.sample import make_bulk_sampler
+
+    net, process, init_fn, config = build_model(_sample_config(batch_size))
     params = init_fn(jax.random.PRNGKey(0))
     mesh = create_mesh()
     sampler = make_bulk_sampler(process, mesh, batch_size)
@@ -57,37 +64,86 @@ def run(batch_size: int):
     return batch_size / elapsed, len(jax.devices())
 
 
-def emit(batch_size: int):
-    imgs_per_sec, n_chips = run(batch_size)
-    value = imgs_per_sec / n_chips
-    print(json.dumps({
-        "metric": "dDDPM_x2_256px_sampling_imgs_per_sec_per_chip",
-        "value": round(value, 4),
-        "unit": f"imgs/sec/chip (1000-step reverse chain, bs {batch_size}, "
-                "bf16, fused attention)",
-        "vs_baseline": round(value / REFERENCE_IMGS_PER_SEC, 4),
-    }))
+def run_train(batch_size: int, iters: int = 8):
+    """dDDPM x3 256^2 jitted train step (accum x2, clip, Adam, EMA)."""
+    import jax
+    from dddpm_tpu.models.factory import build_model
+    from dddpm_tpu.train.state import (
+        create_optimizer, create_train_state, make_train_step)
+
+    config = dict(_sample_config(batch_size))
+    config.update({"n_downsamples": 3, "lr": 2e-4})
+    net, process, init_fn, config = build_model(config)
+    tx = create_optimizer(config["lr"])
+    state = create_train_state(config, init_fn, jax.random.PRNGKey(0), tx)
+    step_fn = jax.jit(make_train_step(process, tx, grad_accum=2,
+                                      ema_decay=0.995), donate_argnums=0)
+    batch = jax.random.uniform(jax.random.PRNGKey(1),
+                               (2, batch_size, 256, 256, 3),
+                               minval=-1.0, maxval=1.0)
+    state, metrics = step_fn(state, batch)  # compile + warmup
+    _ = float(metrics["train_obj"])
+    start = time.perf_counter()
+    for _ in range(iters):
+        state, metrics = step_fn(state, batch)
+    _ = float(metrics["train_obj"])         # device sync
+    dt = (time.perf_counter() - start) / iters
+    return 2 * batch_size / dt, len(jax.devices())
 
 
-def main():
-    if len(sys.argv) > 2 and sys.argv[1] == "--run":
-        emit(int(sys.argv[2]))
-        return
+def emit(mode: str, batch_size: int):
+    if mode == "--run":
+        imgs_per_sec, n_chips = run_sampling(batch_size)
+        value = imgs_per_sec / n_chips
+        print(json.dumps({
+            "metric": "dDDPM_x2_256px_sampling_imgs_per_sec_per_chip",
+            "value": round(value, 4),
+            "unit": f"imgs/sec/chip (1000-step reverse chain, bs {batch_size}, "
+                    "bf16, fused attention)",
+            "vs_baseline": round(value / REFERENCE_IMGS_PER_SEC, 4),
+        }))
+    else:
+        imgs_per_sec, n_chips = run_train(batch_size)
+        value = imgs_per_sec / n_chips
+        print(json.dumps({
+            "metric": "dDDPM_x3_256px_train_imgs_per_sec_per_chip",
+            "value": round(value, 4),
+            "unit": f"imgs/sec/chip (jitted step: accum x2, clip, Adam, "
+                    f"EMA; bs {batch_size}, bf16)",
+        }))
 
-    batch_size = int(os.environ.get("BENCH_BATCH", "96"))
-    while batch_size >= 8:
+
+def _subprocess_attempts(mode: str, start_batch: int, min_batch: int = 4):
+    """Run `bench.py <mode> <bs>` with an OOM-halving retry ladder."""
+    batch_size = start_batch
+    while batch_size >= min_batch:
         proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--run",
+            [sys.executable, os.path.abspath(__file__), mode,
              str(batch_size)],
             capture_output=True, text=True, timeout=3000)
         for line in proc.stdout.splitlines():
             if line.startswith("{"):
-                print(line)
-                return
-        print(f"# batch {batch_size} failed, retrying at {batch_size // 2}",
-              file=sys.stderr)
+                return json.loads(line)
+        print(f"# {mode} batch {batch_size} failed, retrying at "
+              f"{batch_size // 2}", file=sys.stderr)
         batch_size //= 2
-    raise RuntimeError("could not run benchmark even at batch 8")
+    return None
+
+
+def main():
+    if len(sys.argv) > 2 and sys.argv[1] in ("--run", "--train-run"):
+        emit(sys.argv[1], int(sys.argv[2]))
+        return
+
+    sampling = _subprocess_attempts(
+        "--run", int(os.environ.get("BENCH_BATCH", "96")))
+    if sampling is None:
+        raise RuntimeError("could not run the sampling benchmark even at bs 4")
+    train = _subprocess_attempts(
+        "--train-run", int(os.environ.get("BENCH_TRAIN_BATCH", "32")))
+    if train is not None:
+        sampling["train"] = train
+    print(json.dumps(sampling))
 
 
 if __name__ == "__main__":

@@ -64,7 +64,18 @@ CONFIG_TPU: Dict = {
     "grad_accum": 2,              # micro-steps per optimizer step
     "mesh_shape": None,           # None -> all local devices on one 'data' axis
     "seed": 0,
+    "use_pallas_attention": "auto",  # auto | True | False (pinned by build_model)
+    "remat": False,               # rematerialize UNet ResnetBlocks under grad
+    "fsdp": False,                # shard params/EMA/opt-state over the data axis
+    "prefetch": 2,                # host batch-prep prefetch depth (0 = off)
 }
+
+
+def parse_mesh_shape(text):
+    """'4,2' -> (4, 2); '' / 'none' / None -> None."""
+    if text is None or str(text).lower() in ("", "none"):
+        return None
+    return tuple(int(x) for x in str(text).split(","))
 
 
 def modify_config(config: Dict, model_config: Dict) -> Dict:
@@ -130,7 +141,27 @@ def get_args(
     parser.add_argument("--compute-dtype", default="bfloat16", type=str,
                         choices=["bfloat16", "float32"], dest="compute_dtype")
     parser.add_argument("--seed", default=0, type=int, dest="seed")
+    parser.add_argument("--grad-accum", default=2, type=int, dest="grad_accum",
+                        help="micro-steps per optimizer step")
+    parser.add_argument("--mesh-shape", default=None, type=parse_mesh_shape,
+                        dest="mesh_shape",
+                        help="device mesh shape, e.g. '8' or '4,2' "
+                             "(default: all local devices on one data axis)")
+    parser.add_argument("--use-pallas", default="auto", type=str,
+                        choices=["auto", "on", "off"], dest="use_pallas",
+                        help="fused Pallas attention kernel (auto: on for "
+                             "real hardware, off on CPU)")
+    parser.add_argument("--remat", action="store_true",
+                        help="rematerialize UNet ResnetBlocks under grad "
+                             "(activation memory for recompute, 256^2 configs)")
+    parser.add_argument("--fsdp", action="store_true",
+                        help="FSDP-style parameter sharding over the data axis")
+    parser.add_argument("--prefetch", default=2, type=int,
+                        help="background host batch-prep depth (0 disables)")
     args = parser.parse_args(argv)
+    args.use_pallas_attention = {
+        "auto": "auto", "on": True, "off": False}[args.use_pallas]
+    del args.use_pallas
 
     config = build_config(vars(args))
     return config, args.mute

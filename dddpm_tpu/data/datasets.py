@@ -91,12 +91,14 @@ def load_cifar(root: str, train: bool, fine: bool = False,
     return np.ascontiguousarray(x), np.asarray(ys, np.int64)
 
 
-def load_image_folder(folder: str, image_size: int,
+def load_image_folder(folder: str, image_size: int, channels: int = 3,
                       extensions=("jpg", "jpeg", "png")) -> Tuple[np.ndarray, np.ndarray]:
     """DatasetFolder-style loader: class subdirectories of images.
 
     Images are found recursively below each class directory (omniglot
-    nests alphabet/character/*.png)."""
+    nests alphabet/character/*.png).  ``channels`` selects the PIL
+    conversion: 1 -> grayscale 'L' (omniglot, reference torchvision
+    Omniglot yields 1-channel), 3 -> 'RGB' (celeba*)."""
     from PIL import Image
 
     classes = sorted(
@@ -110,10 +112,11 @@ def load_image_folder(folder: str, image_size: int,
                 paths.append((p, ci))
     if not paths:
         raise FileNotFoundError(f"no images under {folder}")
-    imgs = np.empty((len(paths), image_size, image_size, 3), np.uint8)
+    mode = "L" if channels == 1 else "RGB"
+    imgs = np.empty((len(paths), image_size, image_size, channels), np.uint8)
     labels = np.empty((len(paths),), np.int64)
     for i, (p, ci) in enumerate(paths):
-        img = np.asarray(Image.open(p).convert("RGB"))
+        img = np.asarray(Image.open(p).convert(mode))
         imgs[i] = _resize_center_crop(img, image_size)
         labels[i] = ci
     return imgs, labels
@@ -220,7 +223,8 @@ def load_dataset(config: dict, train: bool, data_root: str
     elif name == "omniglot":
         split = "images_background" if train else "images_evaluation"
         return load_image_folder(
-            os.path.join(data_root, "omniglot-py", split), size)
+            os.path.join(data_root, "omniglot-py", split), size,
+            channels=get_color_channels("omniglot"))
     elif name in ("celeba", "celeba_hq", "celeba_hq_64"):
         split = "train" if train else "test"
         return load_image_folder(os.path.join(data_root, name, split), size)

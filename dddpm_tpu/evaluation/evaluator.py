@@ -36,7 +36,12 @@ class Evaluator:
     def __init__(self, weights_npz: Optional[str] = None, batch_size: int = 64):
         self.extractor = FeatureExtractor(weights_npz, batch_size)
 
-    def read_activations(self, images: np.ndarray) -> Dict[str, np.ndarray]:
+    def read_activations(self, images) -> Dict[str, np.ndarray]:
+        """images: array, or .npy/.npz path (streamed in bounded memory)."""
+        import os
+
+        if isinstance(images, (str, os.PathLike)):
+            return self.extractor(images)
         return self.extractor(flatten_batches(images))
 
     def compute_statistics(self, acts: Dict[str, np.ndarray]):

@@ -183,7 +183,10 @@ class FeatureExtractor:
         self.params = self.model.init(rng, dummy)
         self.has_real_weights = False
         weights_npz = weights_npz or os.environ.get("INCEPTION_WEIGHTS_NPZ")
-        if weights_npz and os.path.exists(weights_npz):
+        if weights_npz:
+            if not os.path.exists(weights_npz):
+                raise FileNotFoundError(
+                    f"inception weights npz not found: {weights_npz}")
             self.params = load_params_npz(weights_npz, self.params)
             self.has_real_weights = True
 
@@ -197,38 +200,108 @@ class FeatureExtractor:
 
         self._features = _features
 
-    def __call__(self, images: np.ndarray) -> Dict[str, np.ndarray]:
-        """images: (N, H, W, C) float or uint8 in [0, 255]."""
-        if images.shape[-1] == 1:
-            images = np.repeat(images, 3, axis=-1)
+    def __call__(self, images) -> Dict[str, np.ndarray]:
+        """images: (N, H, W, C) / (nb, B, H, W, C) float or uint8 in
+        [0, 255], or a path to a .npy/.npz sample file (streamed in
+        bounded memory — see evaluation/io.py)."""
+        from dddpm_tpu.evaluation.io import image_batch_stream
+
         outs = {"pool3": [], "spatial": [], "softmax": []}
         bs = self.batch_size
-        n = len(images)
-        pad = (-n) % bs
-        if pad:
-            images = np.concatenate([images, images[:pad]], axis=0)
-        for i in range(0, len(images), bs):
-            batch = jnp.asarray(images[i:i + bs])
-            res = self._features(self.params, batch)
+        for batch in image_batch_stream(images, bs):
+            batch = np.asarray(batch)
+            if batch.shape[-1] == 1:
+                batch = np.repeat(batch, 3, axis=-1)
+            n_real = len(batch)
+            if n_real < bs:  # pad the tail so jit sees one batch shape
+                pad = np.zeros((bs - n_real,) + batch.shape[1:], batch.dtype)
+                batch = np.concatenate([batch, pad], axis=0)
+            res = self._features(self.params, jnp.asarray(batch))
             for k in outs:
-                outs[k].append(np.asarray(res[k]))
-        return {k: np.concatenate(v)[:n] for k, v in outs.items()}
+                outs[k].append(np.asarray(res[k])[:n_real])
+        return {k: np.concatenate(v) for k, v in outs.items()}
 
 
-def load_params_npz(path: str, params_template) -> Dict:
+def load_params_npz(path: str, params_template,
+                    allow_partial: bool = False) -> Dict:
     """Load folded-BN conv weights from an npz keyed by flax param paths
-    like 'params/ConvBN_0/Conv_0/kernel'."""
+    like 'params/ConvBN_0/Conv_0/kernel'.
+
+    Strict by default: raises ValueError listing template keys absent
+    from the npz, npz keys that matched nothing, and any shape mismatch
+    — a wrong weights file must fail loudly, never silently keep random
+    init (that would produce garbage FID labeled as real).  Pass
+    ``allow_partial=True`` to load whatever matches (debugging escape
+    hatch).
+    """
     data = np.load(path)
-    flat = jax.tree_util.tree_flatten_with_path(params_template)
-    leaves, treedef = jax.tree_util.tree_flatten(params_template)
-    out = []
-    for (path_keys, leaf) in jax.tree_util.tree_flatten_with_path(
-            params_template)[0]:
+    flat, treedef = jax.tree_util.tree_flatten_with_path(params_template)
+    out, missing, mismatched, consumed = [], [], [], set()
+    for path_keys, leaf in flat:
         key = "/".join(getattr(p, "key", str(p)) for p in path_keys)
         if key in data:
             arr = np.asarray(data[key])
-            assert arr.shape == leaf.shape, (key, arr.shape, leaf.shape)
-            out.append(jnp.asarray(arr))
+            if arr.shape != leaf.shape:
+                mismatched.append(f"{key}: npz {arr.shape} != model {leaf.shape}")
+                out.append(leaf)
+            else:
+                out.append(jnp.asarray(arr, leaf.dtype))
+                consumed.add(key)
         else:
+            missing.append(key)
             out.append(leaf)
-    return jax.tree_util.tree_unflatten(treedef, out)
+    unused = sorted(set(data.files) - consumed)
+    problems = []
+    if mismatched:
+        problems.append(f"{len(mismatched)} shape mismatches: "
+                        + "; ".join(mismatched[:5]))
+    if missing:
+        problems.append(f"{len(missing)} model params not in npz: "
+                        + ", ".join(missing[:5]) + ("..." if len(missing) > 5 else ""))
+    if unused:
+        problems.append(f"{len(unused)} npz arrays matched nothing: "
+                        + ", ".join(unused[:5]) + ("..." if len(unused) > 5 else ""))
+    if problems and not (allow_partial and not mismatched):
+        raise ValueError(
+            f"inception weights npz '{path}' does not match the model:\n  "
+            + "\n  ".join(problems)
+            + "\n(use allow_partial=True to load the matching subset)")
+    return jax.tree_util.tree_unflatten(
+        jax.tree_util.tree_structure(params_template), out)
+
+
+def conv_param_paths(include_dense: bool = True):
+    """Flax param-path prefixes of every ConvBN conv (and the final
+    logits Dense), in **call order** — which is the order Conv2D nodes
+    appear in the TF frozen graph, so the weights exporter can zip the
+    two walks together (scripts/export_inception_weights.py).
+
+    Returns e.g. ['params/ConvBN_0/Conv_0', ..., 'params/Dense_0'].
+    """
+    order = []
+
+    def interceptor(next_fun, args, kwargs, context):
+        mod = context.module
+        if context.method_name == "__call__" and type(mod) is ConvBN:
+            order.append("params/" + "/".join(mod.path) + "/Conv_0")
+        elif context.method_name == "__call__" and type(mod) is nn.Dense:
+            order.append("params/" + "/".join(mod.path))
+        return next_fun(*args, **kwargs)
+
+    model = InceptionV3()
+    dummy = jnp.zeros((1, 75, 75, 3))  # smallest size the VALID convs allow
+    with nn.intercept_methods(interceptor):
+        jax.eval_shape(lambda: model.init(jax.random.PRNGKey(0), dummy))
+    if not include_dense:
+        order = [p for p in order if "Dense" not in p]
+    return order
+
+
+def param_template_shapes() -> Dict[str, Tuple[int, ...]]:
+    """{flax param path: shape} for the full model, without compute."""
+    model = InceptionV3()
+    dummy = jnp.zeros((1, 75, 75, 3))
+    tmpl = jax.eval_shape(lambda: model.init(jax.random.PRNGKey(0), dummy))
+    flat, _ = jax.tree_util.tree_flatten_with_path(tmpl)
+    return {"/".join(getattr(p, "key", str(p)) for p in ks): tuple(v.shape)
+            for ks, v in flat}

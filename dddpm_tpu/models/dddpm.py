@@ -86,10 +86,12 @@ class DownsampleDiffusion(GaussianDiffusion):
         return x_sample, z_sample
 
     def ddim_sample(self, params, rng, batch_size: int = 16,
-                    num_steps: int = 50, eta: float = 0.0):
+                    num_steps: int = 50, eta: float = 0.0,
+                    spacing: str = "linear"):
         """Strided DDIM chain in latent space, then one upsample."""
         z_sample = self.ddim_sample_loop(
-            params, rng, (batch_size, *self.sample_shape), num_steps, eta)
+            params, rng, (batch_size, *self.sample_shape), num_steps, eta,
+            spacing)
         x_sample = self.rescaled_upsample(params, z_sample)
         return x_sample, z_sample
 

@@ -15,6 +15,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from dddpm_tpu.data.datasets import get_color_channels
 from dddpm_tpu.models.ddpm import GaussianDiffusion
 from dddpm_tpu.models.dddpm import (
     DownsampleDiffusion,
@@ -22,18 +23,7 @@ from dddpm_tpu.models.dddpm import (
 )
 from dddpm_tpu.models.resample import get_downsampling, get_upsampling
 from dddpm_tpu.models.schedule import DiffusionSchedule
-from dddpm_tpu.models.unet import Unet
-
-COLOR_CHANNELS = {
-    "cifar10": 3, "cifar100": 3, "celeba": 3, "celeba_hq": 3,
-    "celeba_hq_64": 3, "mnist": 1, "omniglot": 1, "synthetic": 3,
-}
-
-
-def get_color_channels(dataset: str) -> int:
-    if dataset not in COLOR_CHANNELS:
-        raise ValueError(f"Dataset {dataset} does not have a color channel set")
-    return COLOR_CHANNELS[dataset]
+from dddpm_tpu.models.unet import Unet, resolve_use_pallas
 
 
 class DDDPMNet(nn.Module):
@@ -102,6 +92,10 @@ def build_model(config: dict):
     color_channels = get_color_channels(config["dataset"])
     size = config["image_size"]
     schedule = DiffusionSchedule.create(config["beta_schedule"], config["T"])
+    # pin the attention numerics path into the config (and hence the
+    # checkpoint): 'auto' resolved here, not silently at module build
+    config = dict(config)
+    config["use_pallas_attention"] = resolve_use_pallas(config)
 
     if config["model"] == "ddpm":
         # plain DDPM: UNet runs at image resolution and channels

@@ -31,6 +31,23 @@ from dddpm_tpu.models.blocks import (
 )
 
 
+def resolve_use_pallas(config: dict) -> bool:
+    """Resolve use_pallas_attention='auto' to a concrete bool.
+
+    'auto' means: fused Pallas kernel on real hardware; einsum path on
+    CPU (where Pallas would fall back to the slow interpreter).  Callers
+    (build_model) write the resolved value back into the run config so
+    the numerics path travels inside the checkpoint instead of flipping
+    silently when a TPU-built config is later evaluated on CPU.
+    """
+    use_pallas = config.get("use_pallas_attention", "auto")
+    if use_pallas == "auto":
+        import jax
+
+        use_pallas = jax.default_backend() != "cpu"
+    return bool(use_pallas)
+
+
 class Unet(nn.Module):
     """UNet(dim, dim_mults) predicting eps(x_t, t), same shape as x_t."""
 
@@ -45,13 +62,7 @@ class Unet(nn.Module):
     @classmethod
     def from_config(cls, config: dict) -> "Unet":
         dtype = jnp.bfloat16 if config.get("compute_dtype") == "bfloat16" else jnp.float32
-        use_pallas = config.get("use_pallas_attention", "auto")
-        if use_pallas == "auto":
-            # fused kernel on real hardware; einsum path on CPU (where
-            # Pallas would fall back to the slow interpreter)
-            import jax
-
-            use_pallas = jax.default_backend() != "cpu"
+        use_pallas = resolve_use_pallas(config)
         return cls(
             dim=config["unet_chan"],
             in_channels=config["unet_in"],

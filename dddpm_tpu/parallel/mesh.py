@@ -20,6 +20,48 @@ from jax.experimental import mesh_utils
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def initialize_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> int:
+    """Multi-host (DCN) initialization entry point.
+
+    Wraps ``jax.distributed.initialize`` so multi-host slices join one
+    global mesh: after this, ``jax.devices()`` spans every host and
+    ``create_mesh`` lays the 'data' axis across ICI within a slice and
+    DCN across slices (XLA routes collectives accordingly).
+
+    Arguments may be omitted: on TPU pods JAX autodetects them from the
+    environment; elsewhere they fall back to JAX_COORDINATOR_ADDRESS /
+    JAX_NUM_PROCESSES / JAX_PROCESS_ID.  A single-process run (no
+    coordinator configured) is a no-op, as is a second call.
+
+    Returns the process index (0 for single-process).
+    """
+    import os
+
+    coordinator_address = coordinator_address or os.environ.get(
+        "JAX_COORDINATOR_ADDRESS")
+    if num_processes is None and os.environ.get("JAX_NUM_PROCESSES"):
+        num_processes = int(os.environ["JAX_NUM_PROCESSES"])
+    if process_id is None and os.environ.get("JAX_PROCESS_ID"):
+        process_id = int(os.environ["JAX_PROCESS_ID"])
+
+    single = coordinator_address is None and (num_processes or 1) == 1
+    if not single:
+        try:
+            jax.distributed.initialize(
+                coordinator_address=coordinator_address,
+                num_processes=num_processes,
+                process_id=process_id,
+            )
+        except RuntimeError as e:  # second call: keep the live client
+            if "already" not in str(e).lower():
+                raise
+    return jax.process_index()
+
+
 def create_mesh(
     shape: Optional[Tuple[int, ...]] = None,
     axis_names: Sequence[str] = ("data",),

@@ -23,8 +23,9 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-from dddpm_tpu.data.pipeline import get_dataloader
+from dddpm_tpu.data.pipeline import get_dataloader, prefetch
 from dddpm_tpu.models.factory import build_model, param_count
+from dddpm_tpu.parallel.fsdp import shard_state_fsdp
 from dddpm_tpu.parallel.mesh import create_mesh, replicated
 from dddpm_tpu.train import checkpoint as ckpt
 from dddpm_tpu.train.state import (
@@ -82,12 +83,14 @@ class Trainer:
         self.is_downsampled = config["model"] == "dddpm"
         self.name = f"{config['model']}_{config['T']}"
 
-        # mesh + state (params replicated, batch sharded over 'data')
-        self.mesh = create_mesh()
+        # mesh + state: batch sharded over 'data'; params replicated, or
+        # FSDP-sharded over the data axis when config['fsdp'] is set
+        self.mesh = create_mesh(config.get("mesh_shape"))
+        self.use_fsdp = bool(config.get("fsdp", False))
         self.grad_accum = int(config.get("grad_accum", 2))
         self.tx = create_optimizer(config["lr"])
         state = create_train_state(config, init_fn, self.base_rng, self.tx)
-        self.state = jax.device_put(state, replicated(self.mesh))
+        self.state = self._shard_state(state)
         config["model_size"] = param_count(state.params)
 
         ema_decay = config.get("ema_decay", 0.995)
@@ -98,6 +101,14 @@ class Trainer:
             donate_argnums=0,
         )
         self._batch_sharding = NamedSharding(self.mesh, P(None, "data"))
+
+        # host batch prep (gather + transform + stack + H2D) runs on a
+        # background thread so it overlaps device compute — the TPU
+        # analogue of the reference's num_workers=4 DataLoader
+        # (utils/data.py:153); prefetch=0 falls back to inline prep
+        depth = int(config.get("prefetch", 2))
+        batches = self._host_batches()
+        self._batch_iter = prefetch(batches, depth) if depth > 0 else batches
 
         # fixed "val" batch: first image repeated n_samples times
         # (reference trainer_ddpm.py:21-29; comes from train set when
@@ -126,6 +137,13 @@ class Trainer:
         self.timer = StepTimer(
             items_per_step=self.grad_accum * config["batch_size"])
 
+    def _shard_state(self, state):
+        if self.use_fsdp:
+            return shard_state_fsdp(
+                state, self.mesh,
+                min_size=int(self.config.get("fsdp_min_size", 2 ** 16)))
+        return jax.device_put(state, replicated(self.mesh))
+
     # ------------------------------------------------------------------ io
 
     @property
@@ -138,9 +156,8 @@ class Trainer:
 
     def load_checkpoint(self, ckpt_dir: str):
         """Restore state (+ step + losses) from an orbax checkpoint dir."""
-        self.state = jax.device_put(
-            ckpt.restore_checkpoint(ckpt_dir, self.state),
-            replicated(self.mesh))
+        self.state = self._shard_state(
+            ckpt.restore_checkpoint(ckpt_dir, self.state))
         self.train_losses = ckpt.load_losses(ckpt_dir)
 
     # ------------------------------------------------------------ sampling
@@ -179,11 +196,15 @@ class Trainer:
 
     # ---------------------------------------------------------------- loop
 
+    def _host_batches(self):
+        """Infinite stream of (accum, B, H, W, C) device batches, sharded."""
+        while True:
+            xs = [next(self.train_iter)[0] for _ in range(self.grad_accum)]
+            batch = np.stack(xs, axis=0)
+            yield jax.device_put(batch, self._batch_sharding)
+
     def _next_batch(self) -> jnp.ndarray:
-        """Stack grad_accum micro-batches -> (accum, B, H, W, C), sharded."""
-        xs = [next(self.train_iter)[0] for _ in range(self.grad_accum)]
-        batch = np.stack(xs, axis=0)
-        return jax.device_put(batch, self._batch_sharding)
+        return next(self._batch_iter)
 
     def _flush_metrics(self, upto_step: int):
         for offset, metrics in enumerate(self._metric_buffer):

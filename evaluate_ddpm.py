@@ -60,11 +60,10 @@ def main():
         metrics["vlb"] = vlb
         metrics["L_simple"] = l_simple
 
-    # mmap: 50k 256^2 sample files are ~10GB; activations stream in batches
-    samples = np.load(args.samples, mmap_mode="r")
-    reference = np.load(args.reference, mmap_mode="r")
+    # paths stream in bounded memory (npy mmap / npz chunked decompress);
+    # 50k 256^2 sample files are ~10GB
     evaluator = Evaluator(args.inception_weights)
-    metrics.update(evaluator.evaluate(reference, samples))
+    metrics.update(evaluator.evaluate(args.reference, args.samples))
 
     print(json.dumps(metrics, indent=2))
 

@@ -145,6 +145,41 @@ def test_resize_center_crop_via_loader():
     assert x.shape == (4, 12, 12, 3)
 
 
+def test_omniglot_folder_end_to_end(tmp_path):
+    """Omniglot loads 1-channel (reference torchvision Omniglot is
+    grayscale; utils/data.py:204-210) and flows through build_model +
+    a loss step without channel mismatch."""
+    from PIL import Image
+    import jax
+    import jax.numpy as jnp
+    from dddpm_tpu.models.factory import build_model
+
+    rng = np.random.RandomState(0)
+    for char in ("character01", "character02"):
+        d = tmp_path / "omniglot-py" / "images_background" / "Alpha" / char
+        os.makedirs(d)
+        for i in range(4):
+            Image.fromarray(
+                (rng.rand(20, 20) * 255).astype(np.uint8), "L"
+            ).save(d / f"{i}.png")
+
+    cfg = {"dataset": "omniglot", "image_size": 16, "batch_size": 4,
+           "model": "ddpm", "rnd_flip": False, "T": 5,
+           "loss_type": "simple", "beta_schedule": "cosine",
+           "loss_flat": "sum", "unet_chan": 8, "unet_dims": (1, 2),
+           "unet_dropout": 0.0, "compute_dtype": "float32"}
+    train, _ = get_dataloader(cfg, True, data_root=str(tmp_path))
+    x, _ = next(iter(train))
+    assert x.shape == (4, 16, 16, 1)
+    assert get_color_channels("omniglot") == 1
+
+    net, proc, init_fn, cfg = build_model(cfg)
+    params = init_fn(jax.random.PRNGKey(0))
+    obj, parts = proc.loss_fn(params, jax.random.PRNGKey(1), jnp.asarray(x),
+                              train=False)
+    assert np.isfinite(float(obj))
+
+
 def test_prefetch_preserves_order_and_terminates():
     from dddpm_tpu.data.pipeline import prefetch
 

@@ -152,25 +152,201 @@ def test_compute_test_losses_helper():
     assert batch.min() >= 0 and batch.max() <= 255 and batch.max() > 1
 
 
-def test_inception_npz_weight_loading(tmp_path, extractor):
+def test_image_batch_stream_all_sources(tmp_path):
+    """Array / 5-D array / npy / npz / compressed npz all yield the
+    same batches, with the npz path streamed in bounded chunks."""
+    from dddpm_tpu.evaluation.io import image_batch_stream
+
+    rng = np.random.RandomState(11)
+    arr5 = rng.randint(0, 255, (3, 4, 8, 8, 3)).astype(np.uint8)
+    flat = arr5.reshape(-1, 8, 8, 3)
+    npy = str(tmp_path / "a.npy")
+    npz = str(tmp_path / "a.npz")
+    npzc = str(tmp_path / "c.npz")
+    np.save(npy, arr5)
+    np.savez(npz, arr5)
+    np.savez_compressed(npzc, flat)
+
+    for src in (arr5, flat, npy, npz, npzc):
+        batches = list(image_batch_stream(src, 5))
+        assert [len(b) for b in batches] == [5, 5, 2]
+        np.testing.assert_array_equal(np.concatenate(batches), flat)
+
+
+def test_evaluator_accepts_paths(tmp_path, extractor):
+    """read_activations on an npz path == on the in-memory array."""
+    rng = np.random.RandomState(12)
+    imgs = rng.randint(0, 255, (6, 16, 16, 3)).astype(np.uint8)
+    npz = str(tmp_path / "samples.npz")
+    np.savez(npz, imgs)
+
+    from_arr = extractor(imgs)
+    from_path = extractor(npz)
+    for k in from_arr:
+        np.testing.assert_allclose(from_path[k], from_arr[k], atol=1e-5)
+
+
+def test_inception_activation_golden(extractor):
+    """Deterministic weights + deterministic input -> precomputed
+    pool3/spatial/softmax values (generated once by
+    scripts/gen_inception_golden.py).  Guards the flax graph topology:
+    any change to conv wiring, pooling, head slicing, or preprocessing
+    moves these numbers."""
+    import sys
+    sys.path.insert(0, "scripts")
+    from gen_inception_golden import deterministic_params, golden_input
+    from dddpm_tpu.evaluation.inception import FeatureExtractor
+
+    fe = FeatureExtractor.__new__(FeatureExtractor)
+    fe.model = extractor.model
+    fe.batch_size = 4
+    fe.has_real_weights = False
+    fe.params = deterministic_params(extractor.params)
+    fe._features = extractor._features
+
+    out = fe(golden_input())
+    assert out["pool3"].shape == (4, 2048)
+    assert out["spatial"].shape == (4, 2023)  # 7 * 17 * 17
+    assert out["softmax"].shape == (4, 1008)
+    np.testing.assert_allclose(out["pool3"].mean(), 2.59179063e-02, rtol=1e-4)
+    np.testing.assert_allclose(
+        out["pool3"][0, :5],
+        [0.0023805859964340925, 0.035229094326496124, 0.05150880664587021,
+         0.043563131242990494, 0.015129017643630505], rtol=1e-3)
+    np.testing.assert_allclose(out["spatial"].mean(), 1.76741760e-02, rtol=1e-4)
+    np.testing.assert_allclose(
+        out["spatial"][0, :3],
+        [0.04500318691134453, 0.047993432730436325, 0.02841162122786045],
+        rtol=1e-3)
+    np.testing.assert_allclose(out["softmax"].mean(), 9.92063549e-04, rtol=1e-5)
+    np.testing.assert_allclose(
+        out["softmax"][0, :5],
+        [0.0010396012803539634, 0.0010276391403749585, 0.0009988133097067475,
+         0.0009674071334302425, 0.0009478533756919205], rtol=1e-3)
+
+
+def _template_entries(params):
+    """Full {flax path: array} dict for a params pytree."""
+    import jax
+
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    return {"/".join(getattr(p, "key", str(p)) for p in ks): np.asarray(v)
+            for ks, v in flat}
+
+
+def test_inception_npz_partial_loading(tmp_path, extractor):
     import jax
     from dddpm_tpu.evaluation.inception import load_params_npz
 
-    # export a couple of real template leaves to an npz and reload them
-    flat = jax.tree_util.tree_flatten_with_path(extractor.params)[0]
-    entries = {}
-    for path_keys, leaf in flat[:3]:
-        key = "/".join(getattr(p, "key", str(p)) for p in path_keys)
-        entries[key] = np.full(leaf.shape, 0.123, np.float32)
+    # a partial npz loads only with allow_partial=True
+    entries = dict(list(_template_entries(extractor.params).items())[:3])
+    entries = {k: np.full(v.shape, 0.123, np.float32)
+               for k, v in entries.items()}
     npz = str(tmp_path / "w.npz")
     np.savez(npz, **entries)
 
-    loaded = load_params_npz(npz, extractor.params)
-    flat_l = jax.tree_util.tree_flatten_with_path(loaded)[0]
-    replaced = 0
-    for (path_keys, leaf) in flat_l:
-        key = "/".join(getattr(p, "key", str(p)) for p in path_keys)
-        if key in entries:
-            np.testing.assert_allclose(np.asarray(leaf), 0.123, rtol=1e-6)
-            replaced += 1
-    assert replaced == 3
+    with pytest.raises(ValueError, match="not in npz"):
+        load_params_npz(npz, extractor.params)
+
+    loaded = load_params_npz(npz, extractor.params, allow_partial=True)
+    flat_l = _template_entries(loaded)
+    for key in entries:
+        np.testing.assert_allclose(flat_l[key], 0.123, rtol=1e-6)
+
+
+def test_inception_npz_strict_loading(tmp_path, extractor):
+    from dddpm_tpu.evaluation.inception import load_params_npz
+
+    entries = _template_entries(extractor.params)
+    npz = str(tmp_path / "full.npz")
+    np.savez(npz, **entries)
+    load_params_npz(npz, extractor.params)  # complete npz: strict load OK
+
+    # extra keys fail loudly, even with allow_partial
+    bad = dict(entries, **{"params/Nonexistent_0/kernel": np.zeros(3)})
+    np.savez(str(tmp_path / "extra.npz"), **bad)
+    with pytest.raises(ValueError, match="matched nothing"):
+        load_params_npz(str(tmp_path / "extra.npz"), extractor.params)
+
+    # shape mismatch fails loudly, even with allow_partial
+    key = next(iter(entries))
+    bad = dict(entries)
+    bad[key] = np.zeros((2, 2), np.float32)
+    np.savez(str(tmp_path / "shape.npz"), **bad)
+    with pytest.raises(ValueError, match="shape mismatch"):
+        load_params_npz(str(tmp_path / "shape.npz"), extractor.params)
+    with pytest.raises(ValueError, match="shape mismatch"):
+        load_params_npz(str(tmp_path / "shape.npz"), extractor.params,
+                        allow_partial=True)
+
+
+def test_extractor_missing_weights_file_raises():
+    from dddpm_tpu.evaluation.inception import FeatureExtractor
+
+    with pytest.raises(FileNotFoundError):
+        FeatureExtractor("/nonexistent/weights.npz")
+
+
+def test_conv_param_paths_cover_template(extractor):
+    """Every template param is a ConvBN conv or the logits Dense — the
+    call-order walk must enumerate exactly the param tree."""
+    from dddpm_tpu.evaluation.inception import (
+        conv_param_paths, param_template_shapes)
+
+    paths = conv_param_paths()
+    assert paths[-1] == "params/Dense_0"
+    assert len(paths) == len(set(paths))
+    expected_keys = set()
+    for p in paths:
+        expected_keys.update({f"{p}/kernel", f"{p}/bias"})
+    assert expected_keys == set(param_template_shapes().keys())
+    # template shapes match the real init
+    real = {k: v.shape for k, v in _template_entries(extractor.params).items()}
+    assert {k: tuple(v) for k, v in real.items()} == param_template_shapes()
+
+
+def test_exporter_roundtrip_synthetic_graph(tmp_path, extractor):
+    """Synthesize a TF-graph walk with the right shapes, run the
+    exporter's pure mapping, and strict-load the result — proves the
+    exporter output matches what the loader expects, without TF."""
+    import sys
+    sys.path.insert(0, "scripts")
+    from export_inception_weights import build_entries, fold_bn
+    from dddpm_tpu.evaluation.inception import (
+        FeatureExtractor, conv_param_paths, param_template_shapes)
+
+    template = param_template_shapes()
+    conv_paths = conv_param_paths(include_dense=False)
+    rng = np.random.RandomState(0)
+    tf_convs = []
+    for i, p in enumerate(conv_paths):
+        shape = template[f"{p}/kernel"]
+        cout = shape[-1]
+        tf_convs.append({
+            "name": f"mixed_{i}/conv", "kernel": rng.randn(*shape) * 0.01,
+            "beta": rng.randn(cout) * 0.1, "mean": rng.randn(cout) * 0.1,
+            "var": 1.0 + 0.1 * rng.rand(cout), "gamma": None,
+        })
+    lk = rng.randn(*template["params/Dense_0/kernel"]) * 0.01
+    lb = rng.randn(template["params/Dense_0/kernel"][-1]) * 0.01
+    entries = build_entries(tf_convs, lk, lb)
+    npz = str(tmp_path / "inception.npz")
+    np.savez(npz, **entries)
+
+    fe = FeatureExtractor(npz, batch_size=2)
+    assert fe.has_real_weights
+    # BN folding: conv' = kernel*scale, bias = beta - mean*scale
+    k0, b0 = fold_bn(tf_convs[0]["kernel"], tf_convs[0]["beta"],
+                     tf_convs[0]["mean"], tf_convs[0]["var"])
+    got = _template_entries(fe.params)
+    np.testing.assert_allclose(
+        got[f"{conv_paths[0]}/kernel"], k0, rtol=1e-5)
+    np.testing.assert_allclose(got[f"{conv_paths[0]}/bias"], b0, rtol=1e-5)
+
+    # wrong conv count fails loudly
+    with pytest.raises(ValueError, match="out of sync"):
+        build_entries(tf_convs[:-1], lk, lb)
+    # shuffled graph order (shape-incompatible pairing) fails loudly
+    shuffled = [tf_convs[5]] + tf_convs[1:5] + [tf_convs[0]] + tf_convs[6:]
+    with pytest.raises(ValueError, match="shape mismatch"):
+        build_entries(shuffled, lk, lb)

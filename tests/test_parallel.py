@@ -173,3 +173,50 @@ def test_fsdp_train_step_matches_replicated(devices):
         for l in jax.tree.leaves(out_fsdp.params)
         if hasattr(l.sharding, "spec"))
     assert any_sharded
+
+
+def test_initialize_distributed_single_process_noop():
+    """No coordinator configured -> no-op, process index 0."""
+    from dddpm_tpu.parallel.mesh import initialize_distributed
+
+    assert initialize_distributed() == 0
+    assert jax.process_count() == 1
+
+
+def test_initialize_distributed_two_processes(tmp_path):
+    """Multi-host entry point: two real processes join one JAX
+    distributed client over a local coordinator (the CPU stand-in for
+    a DCN-connected multi-host TPU slice)."""
+    import os
+    import socket
+    import subprocess
+    import sys
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    script = f"""
+import os
+os.environ["JAX_PLATFORMS"] = "cpu"
+import sys
+sys.path.insert(0, {repr(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))})
+import jax
+jax.config.update("jax_platforms", "cpu")
+from dddpm_tpu.parallel.mesh import initialize_distributed
+pid = initialize_distributed("127.0.0.1:{port}", 2, int(sys.argv[1]))
+assert pid == int(sys.argv[1]), pid
+assert jax.process_count() == 2, jax.process_count()
+assert len(jax.devices()) == 2, jax.devices()  # one CPU device per host
+assert len(jax.local_devices()) == 1
+print("OK", pid)
+"""
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    procs = [subprocess.Popen([sys.executable, "-c", script, str(i)],
+                              stdout=subprocess.PIPE,
+                              stderr=subprocess.STDOUT, text=True, env=env)
+             for i in range(2)]
+    outs = [p.communicate(timeout=300)[0] for p in procs]
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"process {i} failed:\n{out}"
+        assert f"OK {i}" in out

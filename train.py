@@ -18,6 +18,12 @@ maybe_force_platform()
 
 
 def main():
+    # multi-host slices: join the global mesh before touching devices
+    # (no-op for single-process runs; see parallel/mesh.py)
+    from dddpm_tpu.parallel.mesh import initialize_distributed
+
+    initialize_distributed()
+
     config, mute = get_args()
     trainer, config = setup_trainer(
         config, mute, config.get("data_root", "../data/"), WANDB_PROJECT,
