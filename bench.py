@@ -43,8 +43,20 @@ def _sample_config(batch_size: int) -> dict:
     }
 
 
+def _enable_compile_cache():
+    """Persistent XLA compile cache: the 1000-step chain compile takes
+    minutes on a single host core; repeated bench runs skip it."""
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("JAX_CACHE_DIR", "/tmp/jax_tpu_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
 def run_sampling(batch_size: int):
     import jax
+
+    _enable_compile_cache()
     from dddpm_tpu.models.factory import build_model
     from dddpm_tpu.parallel.mesh import create_mesh
     from dddpm_tpu.sample import make_bulk_sampler
@@ -67,6 +79,8 @@ def run_sampling(batch_size: int):
 def run_train(batch_size: int, iters: int = 8):
     """dDDPM x3 256^2 jitted train step (accum x2, clip, Adam, EMA)."""
     import jax
+
+    _enable_compile_cache()
     from dddpm_tpu.models.factory import build_model
     from dddpm_tpu.train.state import (
         create_optimizer, create_train_state, make_train_step)

@@ -15,7 +15,10 @@ context ctx (heads folded into one 128-lane axis — both contractions
 are full-width MXU matmuls, see linear_attention.py).
 
 Pass 2 (out): stream x tiles again; LN recomputed (cheaper than
-storing it); q = ln @ Wq; y = x + (q @ ctx) @ Wout + bias.
+storing it); y = x + ln @ W_eff + bias, where W_eff = Wq @ ctx @ Wout
+is folded once per batch element outside the kernel — associativity
+collapses the q-projection + context + out-projection (3 token-wide
+matmuls) into one, cutting pass-2 MXU work 3x.
 
 LayerNorm preserves the reference quirk exactly: biased variance, eps
 added to the *std* (models/blocks.py ChannelLayerNorm).
@@ -59,7 +62,7 @@ def _reference_impl(x, g, b, w_qkv, w_out, b_out, dim_head: int):
     return x + (out @ w_out + b_out).astype(x.dtype)
 
 
-def _ctx_kernel(x_ref, g_ref, b_ref, wk_ref, wv_ref, ctx_ref,
+def _ctx_kernel(x_ref, g_ref, b_ref, wkv_ref, ctx_ref,
                 m_scr, s_scr, a_scr, *, dim_head):
     j = pl.program_id(1)
     nt = pl.num_programs(1)
@@ -72,8 +75,10 @@ def _ctx_kernel(x_ref, g_ref, b_ref, wk_ref, wv_ref, ctx_ref,
 
     ln = _layer_norm_f32(x_ref[0], g_ref[:], b_ref[:])      # (TN, C) f32
     ln = ln.astype(x_ref.dtype)
-    kt = jnp.dot(ln, wk_ref[:], preferred_element_type=jnp.float32)
-    vt = jnp.dot(ln, wv_ref[:], preferred_element_type=jnp.float32)
+    # one (C -> 2*hidden) matmul: wider MXU N-dim than separate k/v
+    kv = jnp.dot(ln, wkv_ref[:], preferred_element_type=jnp.float32)
+    hidden = kv.shape[-1] // 2
+    kt, vt = kv[:, :hidden], kv[:, hidden:]
 
     m_old = m_scr[:]
     m_new = jnp.maximum(m_old, jnp.max(kt, axis=0, keepdims=True))
@@ -95,14 +100,18 @@ def _ctx_kernel(x_ref, g_ref, b_ref, wk_ref, wv_ref, ctx_ref,
         ctx_ref[0] = jnp.where(row == col, ctx, 0.0)
 
 
-def _out_kernel(x_ref, g_ref, b_ref, wq_ref, ctx_ref, wo_ref, bo_ref,
-                y_ref):
+def _out_kernel(x_ref, g_ref, b_ref, weff_ref, bo_ref, y_ref):
+    """y = x + LN(x) @ W_eff + b_out.
+
+    W_eff = Wq @ blockdiag(ctx) @ Wout is folded per batch element
+    outside the kernel (a (C, hidden) @ (hidden, hidden) @ (hidden, C)
+    chain — a few MFLOPs), collapsing the original q-projection,
+    context application, and output projection into ONE token matmul:
+    ((ln@Wq) @ ctx) @ Wout == ln @ (Wq @ ctx @ Wout).
+    """
     x = x_ref[0]
     ln = _layer_norm_f32(x, g_ref[:], b_ref[:]).astype(x.dtype)
-    q = jnp.dot(ln, wq_ref[:], preferred_element_type=jnp.float32)
-    attn = jnp.dot(q.astype(x.dtype), ctx_ref[0].astype(x.dtype),
-                   preferred_element_type=jnp.float32)
-    y = jnp.dot(attn.astype(x.dtype), wo_ref[:],
+    y = jnp.dot(ln, weff_ref[0].astype(x.dtype),
                 preferred_element_type=jnp.float32) + bo_ref[:]
     y_ref[0] = (x.astype(jnp.float32) + y).astype(y_ref.dtype)
 
@@ -124,6 +133,7 @@ def _fused_forward(x, g, b, w_qkv, w_out, b_out, dim_head: int,
 
     # qkv weight columns ordered (3, heads, d) -> q | k | v slabs
     w_q, w_k, w_v = (w_qkv.reshape(c, 3, hidden)[:, i] for i in range(3))
+    w_kv = jnp.concatenate([w_k, w_v], axis=1)          # (C, 2*hidden)
 
     # vectors ship as (1, C) — TPU block shapes want >= 2 dims
     g2, b2, bo2 = (t.reshape(1, -1) for t in (g, b, b_out))
@@ -141,7 +151,7 @@ def _fused_forward(x, g, b, w_qkv, w_out, b_out, dim_head: int,
         partial(_ctx_kernel, dim_head=dim_head),
         grid=(bsz, nt),
         in_specs=[x_spec, vec_spec(c), vec_spec(c),
-                  mat_spec(c, hidden), mat_spec(c, hidden)],
+                  mat_spec(c, 2 * hidden)],
         out_specs=ctx_spec,
         out_shape=jax.ShapeDtypeStruct((bsz, hidden, hidden), jnp.float32),
         scratch_shapes=[
@@ -150,17 +160,23 @@ def _fused_forward(x, g, b, w_qkv, w_out, b_out, dim_head: int,
             pltpu.VMEM((hidden, hidden), jnp.float32),
         ],
         interpret=interpret,
-    )(x, g2, b2, w_k, w_v)
+    )(x, g2, b2, w_kv)
 
+    # fold the q-projection, per-batch context, and out-projection into
+    # one effective (C, C) weight per batch element (a few MFLOPs)
+    w_eff = jnp.einsum("ch,bhg,gf->bcf", w_q.astype(jnp.float32), ctx,
+                       w_out.astype(jnp.float32))
+
+    weff_spec = pl.BlockSpec((1, c, c), lambda i, j: (i, 0, 0),
+                             memory_space=pltpu.VMEM)
     return pl.pallas_call(
         _out_kernel,
         grid=(bsz, nt),
-        in_specs=[x_spec, vec_spec(c), vec_spec(c), mat_spec(c, hidden),
-                  ctx_spec, mat_spec(hidden, c), vec_spec(c)],
+        in_specs=[x_spec, vec_spec(c), vec_spec(c), weff_spec, vec_spec(c)],
         out_specs=x_spec,
         out_shape=jax.ShapeDtypeStruct((bsz, n, c), x.dtype),
         interpret=interpret,
-    )(x, g2, b2, w_q, ctx, w_out, bo2)
+    )(x, g2, b2, w_eff, bo2)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(6, 7))

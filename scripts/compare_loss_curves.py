@@ -28,6 +28,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
+# CPU-parity harness (torch side is CPU-only); force jax onto CPU too.
+# The image's sitecustomize latches the axon TPU platform before env
+# vars are read, so JAX_PLATFORMS=cpu alone is not enough.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
 REF = "/root/reference"
 LR = 2e-4
 ACCUM = 2
