@@ -66,7 +66,9 @@ def run_sampling(batch_size: int):
     mesh = create_mesh()
     sampler = make_bulk_sampler(process, mesh, batch_size)
 
-    rng = jax.random.PRNGKey(0)
+    # TPU hardware RNG for per-step sampling noise (threefry costs
+    # ~0.25 ms/step more at bs 96; same N(0,1) distribution)
+    rng = jax.random.key(0, impl="rbg")
     out = sampler(params, rng)           # compile + warmup
     jax.block_until_ready(out)
     start = time.perf_counter()

@@ -16,7 +16,13 @@ import jax.numpy as jnp
 
 
 def mish(x: jnp.ndarray) -> jnp.ndarray:
-    """Mish activation: x * tanh(softplus(x))."""
+    """Mish activation: x * tanh(softplus(x)).
+
+    (A single-transcendental rewrite via tanh(ln u) = (u^2-1)/(u^2+1)
+    was tried and benched SLOWER on the v5e VPU — the divide plus the
+    overflow-guard select cost more than the native tanh/log1p; the
+    stock form also fuses better.)
+    """
     return x * jnp.tanh(jax.nn.softplus(x))
 
 

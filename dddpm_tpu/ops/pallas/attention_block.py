@@ -5,23 +5,31 @@ Why: on a v5e chip the unfused block is bandwidth-bound, not
 FLOPs-bound — the qkv projection alone writes a 3x-width tensor, the
 (3, heads, d) split copies it again, the softmax makes f32 round trips,
 and the two einsums shuffle layouts (~1.6 GB of HBM traffic per UNet
-eval at the 128^2 latent; measured 43% of eval time).  Fusing the whole
-block cuts traffic to: read x twice + write y once (~200 MB).
+eval at the 128^2 latent; measured 43% of eval time unfused).
 
-Pass 1 (ctx): stream x token tiles; LN in-register; k = ln @ Wk,
-v = ln @ Wv; flash-style accumulation of A = sum_n exp(k - m)^T v with
-running column max m and denominator s; emit the block-diagonal
-context ctx (heads folded into one 128-lane axis — both contractions
-are full-width MXU matmuls, see linear_attention.py).
+Pass A (ctx/W_eff): stream x token tiles; LN in-register;
+kv = ln @ [Wk|Wv] (one matmul, 2*hidden wide); accumulate
+A += exp(k)^T v and s += sum exp(k) in f32 with the matmul operands in
+the input dtype (bf16 on the production path — an f32 MXU matmul costs
+multiple passes, and the f32->bf16 rounding of softmax weights is far
+below the bf16 noise of the surrounding network).  At the last tile,
+fold W_eff = Wq @ blockdiag(A / s) @ Wout in-register: associativity
+collapses the q-projection, context application and out-projection
+into ONE (C, C) token matmul — ((ln@Wq) @ ctx) @ Wout ==
+ln @ (Wq @ ctx @ Wout).
 
-Pass 2 (out): stream x tiles again; LN recomputed (cheaper than
-storing it); y = x + ln @ W_eff + bias, where W_eff = Wq @ ctx @ Wout
-is folded once per batch element outside the kernel — associativity
-collapses the q-projection + context + out-projection (3 token-wide
-matmuls) into one, cutting pass-2 MXU work 3x.
+Pass B (out): stream x tiles again; LN recomputed (cheaper than
+storing it); y = x + ln @ W_eff + b_out.
+
+No flash-style running max: k = LN(x) @ Wk is LayerNorm-bounded, so
+exp(k) cannot overflow f32 in any realistic regime (softmax is
+shift-invariant, the shift is only an overflow guard); k is clamped at
+80 as a belt-and-braces bound.  This removes the per-tile max reduce
+and the (hidden, hidden) f32 rescale of the accumulator.
 
 LayerNorm preserves the reference quirk exactly: biased variance, eps
-added to the *std* (models/blocks.py ChannelLayerNorm).
+added to the *std* (models/blocks.py ChannelLayerNorm; reference
+models/unet/blocks.py:50-60).
 
 Gradients: jax.custom_vjp re-derives the backward pass from the
 identical pure-JAX computation.
@@ -37,6 +45,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 LN_EPS = 1e-5
+K_CLAMP = 80.0  # exp overflow guard; softmax logits never get near this
 
 
 def _layer_norm_f32(x, g, b):
@@ -63,13 +72,25 @@ def _reference_impl(x, g, b, w_qkv, w_out, b_out, dim_head: int):
 
 
 def _ctx_kernel(x_ref, g_ref, b_ref, wkv_ref, ctx_ref,
-                m_scr, s_scr, a_scr, *, dim_head):
+                s_scr, a_scr, *, dim_head):
+    """Pass A: accumulate A += exp(k)^T v and s += sum exp(k) over token
+    tiles; at the last tile emit ctx = blockdiag(A / s).
+
+    The W_eff fold itself happens OUTSIDE in XLA as one batched einsum:
+    inside the kernel it would run in the sequential per-batch grid
+    tail (~tens of us x batch), measurably slower than a batched XLA
+    matmul over all batch elements at once.
+    """
     j = pl.program_id(1)
     nt = pl.num_programs(1)
+    # MXU operand precision follows the input dtype: bf16 inputs (the
+    # production UNet path) keep every matmul operand bf16 (an f32 MXU
+    # matmul costs multiple passes); f32 inputs stay exact.
+    mxu_dtype = x_ref.dtype
+    hidden = s_scr.shape[-1]
 
     @pl.when(j == 0)
     def _():
-        m_scr[:] = jnp.full_like(m_scr, -jnp.inf)
         s_scr[:] = jnp.zeros_like(s_scr)
         a_scr[:] = jnp.zeros_like(a_scr)
 
@@ -77,19 +98,11 @@ def _ctx_kernel(x_ref, g_ref, b_ref, wkv_ref, ctx_ref,
     ln = ln.astype(x_ref.dtype)
     # one (C -> 2*hidden) matmul: wider MXU N-dim than separate k/v
     kv = jnp.dot(ln, wkv_ref[:], preferred_element_type=jnp.float32)
-    hidden = kv.shape[-1] // 2
-    kt, vt = kv[:, :hidden], kv[:, hidden:]
-
-    m_old = m_scr[:]
-    m_new = jnp.maximum(m_old, jnp.max(kt, axis=0, keepdims=True))
-    alpha = jnp.exp(m_old - m_new)
-    p = jnp.exp(kt - m_new)
-
-    m_scr[:] = m_new
-    s_scr[:] = s_scr[:] * alpha + jnp.sum(p, axis=0, keepdims=True)
-    pa = lax.dot_general(p, vt, (((0,), (0,)), ((), ())),
-                         preferred_element_type=jnp.float32)
-    a_scr[:] = a_scr[:] * alpha.T + pa
+    p = jnp.exp(jnp.minimum(kv[:, :hidden], K_CLAMP))
+    s_scr[:] += jnp.sum(p, axis=0, keepdims=True)
+    a_scr[:] += lax.dot_general(
+        p.astype(mxu_dtype), kv[:, hidden:].astype(mxu_dtype),
+        (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
 
     @pl.when(j == nt - 1)
     def _():
@@ -101,14 +114,9 @@ def _ctx_kernel(x_ref, g_ref, b_ref, wkv_ref, ctx_ref,
 
 
 def _out_kernel(x_ref, g_ref, b_ref, weff_ref, bo_ref, y_ref):
-    """y = x + LN(x) @ W_eff + b_out.
-
-    W_eff = Wq @ blockdiag(ctx) @ Wout is folded per batch element
-    outside the kernel (a (C, hidden) @ (hidden, hidden) @ (hidden, C)
-    chain — a few MFLOPs), collapsing the original q-projection,
-    context application, and output projection into ONE token matmul:
-    ((ln@Wq) @ ctx) @ Wout == ln @ (Wq @ ctx @ Wout).
-    """
+    """Pass B: y = x + LN(x) @ W_eff + b_out — ONE token matmul, since
+    associativity collapses the q-projection, context application and
+    out-projection: ((ln@Wq) @ ctx) @ Wout == ln @ (Wq @ ctx @ Wout)."""
     x = x_ref[0]
     ln = _layer_norm_f32(x, g_ref[:], b_ref[:]).astype(x.dtype)
     y = jnp.dot(ln, weff_ref[0].astype(x.dtype),
@@ -116,7 +124,10 @@ def _out_kernel(x_ref, g_ref, b_ref, weff_ref, bo_ref, y_ref):
     y_ref[0] = (x.astype(jnp.float32) + y).astype(y_ref.dtype)
 
 
-def _pick_tile(n: int, target: int = 1024) -> int:
+def _pick_tile(n: int, target: int = 2048) -> int:
+    """Token-tile size: bigger tiles amortize per-grid-step overhead
+    (the 128^2-latent block runs 2 x bsz x N/tile sequential grid
+    steps); 2048 keeps pass A's f32 temporaries ~5 MB of VMEM."""
     tile = min(n, target)
     while n % tile:
         tile //= 2
@@ -146,6 +157,8 @@ def _fused_forward(x, g, b, w_qkv, w_out, b_out, dim_head: int,
                                          memory_space=pltpu.VMEM)
     ctx_spec = pl.BlockSpec((1, hidden, hidden), lambda i, j: (i, 0, 0),
                             memory_space=pltpu.VMEM)
+    weff_spec = pl.BlockSpec((1, c, c), lambda i, j: (i, 0, 0),
+                             memory_space=pltpu.VMEM)
 
     ctx = pl.pallas_call(
         partial(_ctx_kernel, dim_head=dim_head),
@@ -156,19 +169,17 @@ def _fused_forward(x, g, b, w_qkv, w_out, b_out, dim_head: int,
         out_shape=jax.ShapeDtypeStruct((bsz, hidden, hidden), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((1, hidden), jnp.float32),
-            pltpu.VMEM((1, hidden), jnp.float32),
             pltpu.VMEM((hidden, hidden), jnp.float32),
         ],
         interpret=interpret,
     )(x, g2, b2, w_kv)
 
     # fold the q-projection, per-batch context, and out-projection into
-    # one effective (C, C) weight per batch element (a few MFLOPs)
+    # one effective (C, C) weight per batch element — a batched XLA
+    # einsum over all batch elements at once (a few MFLOPs)
     w_eff = jnp.einsum("ch,bhg,gf->bcf", w_q.astype(jnp.float32), ctx,
-                       w_out.astype(jnp.float32))
+                       w_out.astype(jnp.float32)).astype(x.dtype)
 
-    weff_spec = pl.BlockSpec((1, c, c), lambda i, j: (i, 0, 0),
-                             memory_space=pltpu.VMEM)
     return pl.pallas_call(
         _out_kernel,
         grid=(bsz, nt),

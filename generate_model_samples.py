@@ -39,6 +39,12 @@ def main():
                    help="use strided DDIM sampling with this many steps "
                         "instead of the full ancestral chain")
     p.add_argument("--ddim-eta", type=float, default=0.0)
+    p.add_argument("--prng-impl", default="rbg",
+                   choices=["rbg", "threefry2x32"],
+                   help="PRNG for sampling noise. 'rbg' uses the TPU "
+                        "hardware generator (~0.25 ms/step faster at "
+                        "bs 96 than counter-based threefry); identical "
+                        "N(0,1) distribution, different stream")
     args = p.parse_args()
 
     config = ckpt.load_config(args.checkpoint)
@@ -63,8 +69,9 @@ def main():
     print(json.dumps({k: str(v) if isinstance(v, tuple) else v
                       for k, v in config.items()}, indent=4) + "\n")
 
+    rng = jax.random.key(args.seed, impl=args.prng_impl)
     samples, latents, timing = generate_samples(
-        process, params, mesh, jax.random.PRNGKey(args.seed),
+        process, params, mesh, rng,
         args.fid_samples, args.batch_size,
         ddim_steps=args.ddim_steps, ddim_eta=args.ddim_eta)
 
