@@ -124,10 +124,11 @@ def _out_kernel(x_ref, g_ref, b_ref, weff_ref, bo_ref, y_ref):
     y_ref[0] = (x.astype(jnp.float32) + y).astype(y_ref.dtype)
 
 
-def _pick_tile(n: int, target: int = 2048) -> int:
+def _pick_tile(n: int, target: int = 4096) -> int:
     """Token-tile size: bigger tiles amortize per-grid-step overhead
     (the 128^2-latent block runs 2 x bsz x N/tile sequential grid
-    steps); 2048 keeps pass A's f32 temporaries ~5 MB of VMEM."""
+    steps); 4096 keeps pass A's f32 temporaries ~10 MB of VMEM
+    (benched 1.7021 -> 1.7075 imgs/s over 2048 on the headline chain)."""
     tile = min(n, target)
     while n % tile:
         tile //= 2
