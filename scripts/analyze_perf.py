@@ -67,13 +67,22 @@ def main():
           f"{ideal:.1f}s -> {args.batch / ideal:.2f} imgs/sec")
 
     if args.time:
-        out = eps_fn(params, x, t)
-        jax.block_until_ready(out)
-        n = 10
+        # scan-in-jit + scalar fetch: the only trustworthy timing on the
+        # axon tunnel (per-dispatch block_until_ready returns early)
+        from jax import lax
+
+        n = 20
+
+        @jax.jit
+        def chain(p, x, t):
+            def body(y, _):
+                return process.eps_fn(p, y, t, None, False), None
+            y, _ = lax.scan(body, x, None, length=n)
+            return jnp.sum(y)
+
+        _ = float(chain(params, x, t))      # compile + warmup
         start = time.perf_counter()
-        for _ in range(n):
-            out = eps_fn(params, x, t)
-        jax.block_until_ready(out)
+        _ = float(chain(params, x, t))
         dt = (time.perf_counter() - start) / n
         ach = flops / dt / 1e12
         print(f"measured UNet eval: {dt * 1e3:.1f} ms -> {ach:.1f} TFLOPs "
