@@ -98,6 +98,8 @@ def _ctx_kernel(x_ref, g_ref, b_ref, wkv_ref, ctx_ref,
     ln = ln.astype(x_ref.dtype)
     # one (C -> 2*hidden) matmul: wider MXU N-dim than separate k/v
     kv = jnp.dot(ln, wkv_ref[:], preferred_element_type=jnp.float32)
+    # (exp on bf16 instead of f32 benched identical — 1.7077 vs 1.7075
+    # imgs/s — so the softmax weights keep full f32 precision)
     p = jnp.exp(jnp.minimum(kv[:, :hidden], K_CLAMP))
     s_scr[:] += jnp.sum(p, axis=0, keepdims=True)
     a_scr[:] += lax.dot_general(
