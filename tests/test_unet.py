@@ -128,3 +128,23 @@ def test_remat_preserves_values_params_and_grads():
     for a, b in zip(jax.tree.leaves(g), jax.tree.leaves(g_r)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_resnet_block_skip_split_matches_concat():
+    """Concat-free skip path (blocks.py Conv3x3Params/ConvParams1x1
+    kernel splitting) computes exactly the concat formulation."""
+    import jax
+    import jax.numpy as jnp
+
+    from dddpm_tpu.models.blocks import ResnetBlock
+
+    k = jax.random.PRNGKey(0)
+    x = jax.random.normal(k, (2, 8, 8, 16))
+    s = jax.random.normal(jax.random.fold_in(k, 1), (2, 8, 8, 16))
+    t = jax.random.normal(jax.random.fold_in(k, 2), (2, 64))
+    rb = ResnetBlock(32, 24)
+    params = rb.init(jax.random.PRNGKey(1),
+                     jnp.concatenate([x, s], -1), t)
+    want = rb.apply(params, jnp.concatenate([x, s], -1), t)
+    got = rb.apply(params, x, t, skip=s)
+    assert jnp.max(jnp.abs(want - got)) < 1e-5
