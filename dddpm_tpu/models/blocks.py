@@ -138,17 +138,21 @@ class Conv3x3Params(nn.Module):
         dn = ("NHWC", "HWIO", "NHWC")
         k = kernel.astype(x.dtype)
 
+        # no preferred_element_type: TPU convs accumulate f32 in the
+        # MXU regardless, nn.Conv does the same, and mixed
+        # bf16-operand/f32-output convs have a broken VJP (the
+        # transposed conv gets mismatched dtypes)
         def conv(v, w):
             return jax.lax.conv_general_dilated(
-                v, w, (1, 1), ((1, 1), (1, 1)), dimension_numbers=dn,
-                preferred_element_type=jnp.float32)
+                v, w, (1, 1), ((1, 1), (1, 1)), dimension_numbers=dn)
 
         if skip is None:
             y = conv(x, k)
         else:
             cx = x.shape[-1]
-            y = conv(x, k[:, :, :cx]) + conv(skip, k[:, :, cx:])
-        return (y + bias.astype(jnp.float32)).astype(x.dtype)
+            y = conv(x, k[:, :, :cx]) + conv(skip.astype(x.dtype),
+                                             k[:, :, cx:])
+        return y + bias.astype(y.dtype)
 
 
 class Block(nn.Module):

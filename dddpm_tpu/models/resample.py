@@ -123,8 +123,15 @@ class ConvResBlock(nn.Module):
         )
         out = x + h if self.residual else h
         if self.upsample:
+            # 2x nearest upsample as broadcast + reshape: identical
+            # values to jax.image.resize(method='nearest'), but the
+            # VJP is a cheap 2x2 window sum instead of the resize
+            # gather's transpose (an XLA scatter — measured to dominate
+            # the dDDPM recon-loss backward at 256^2)
             b, hh, ww, c = out.shape
-            out = jax.image.resize(out, (b, hh * 2, ww * 2, c), method="nearest")
+            out = jnp.broadcast_to(out[:, :, None, :, None, :],
+                                   (b, hh, 2, ww, 2, c))
+            out = out.reshape(b, hh * 2, ww * 2, c)
         elif self.downsample:
             out = nn.avg_pool(out, (2, 2), strides=(2, 2))
         return out

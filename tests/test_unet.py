@@ -148,3 +148,28 @@ def test_resnet_block_skip_split_matches_concat():
     want = rb.apply(params, jnp.concatenate([x, s], -1), t)
     got = rb.apply(params, x, t, skip=s)
     assert jnp.max(jnp.abs(want - got)) < 1e-5
+
+
+def test_unet_bf16_dropout_gradients():
+    """Regression: bf16 compute + active dropout + grad through the
+    split-kernel convs (a preferred_element_type=f32 conv with bf16
+    operands has a broken VJP — Conv3x3Params must not use it)."""
+    import jax
+    import jax.numpy as jnp
+
+    from dddpm_tpu.models.unet import Unet
+
+    net = Unet(dim=8, in_channels=4, dim_mults=(1, 2), dropout=0.1,
+               dtype=jnp.bfloat16)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 16, 16, 4))
+    t = jnp.zeros((2,), jnp.int32)
+    params = net.init(jax.random.PRNGKey(1), x, t)
+
+    def loss(p):
+        y = net.apply(p, x, t, deterministic=False,
+                      rngs={"dropout": jax.random.PRNGKey(2)})
+        return jnp.sum(y.astype(jnp.float32) ** 2)
+
+    g = jax.grad(loss)(params)
+    leaves = jax.tree_util.tree_leaves(g)
+    assert all(bool(jnp.all(jnp.isfinite(l))) for l in leaves)
