@@ -22,12 +22,16 @@ def main():
     p.add_argument("--batch1", required=True)
     p.add_argument("--batch2", required=True)
     p.add_argument("--inception-weights", default=None)
+    p.add_argument("--prec-recall-subset", type=int, default=None,
+                   help="subsample the P/R manifold estimate to N features "
+                        "(default: full set, matching the reference)")
     args = p.parse_args()
 
     b1 = np.load(args.batch1, mmap_mode="r")
     b2 = np.load(args.batch2, mmap_mode="r")
     evaluator = Evaluator(args.inception_weights)
-    metrics = evaluator.evaluate(b1, b2)
+    metrics = evaluator.evaluate(b1, b2,
+                                 prec_recall_subset=args.prec_recall_subset)
     print(json.dumps(metrics, indent=2))
 
 

@@ -49,7 +49,13 @@ class Evaluator:
                 FIDStatistics.from_activations(acts["spatial"]))
 
     def evaluate(self, reference: np.ndarray, samples: np.ndarray,
-                 prec_recall_subset: int = 10000) -> Dict[str, float]:
+                 prec_recall_subset: Optional[int] = None) -> Dict[str, float]:
+        """prec_recall_subset: None (default) runs the manifold estimate
+        on the FULL feature sets, matching the reference's
+        ManifoldEstimator (utils/evaluator.py:159-383) — the tiled
+        kernel streams row/col blocks so 50k x 50k stays within host
+        memory.  Pass an int to subsample explicitly (faster, but the
+        published P/R numbers are then not reference-comparable)."""
         ref_acts = self.read_activations(reference)
         sample_acts = self.read_activations(samples)
 
@@ -59,7 +65,6 @@ class Evaluator:
         is_score = compute_inception_score(sample_acts["softmax"])
         fid = stats.frechet_distance(ref_stats)
         sfid = stats_spatial.frechet_distance(ref_stats_spatial)
-        # subsample for the O(N^2) manifold estimate, like common practice
         prec, recall = compute_prec_recall(
             ref_acts["pool3"][:prec_recall_subset],
             sample_acts["pool3"][:prec_recall_subset])

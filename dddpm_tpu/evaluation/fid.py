@@ -41,9 +41,11 @@ class FIDStatistics:
         diff = mu1 - mu2
         covmean, _ = linalg.sqrtm(sigma1.dot(sigma2), disp=False)
         if not np.isfinite(covmean).all():
+            # Same eps-on-diagonal fallback as the canonical TTUR/OpenAI
+            # FID implementation the reference vendors (evaluator.py:60-66)
             warnings.warn(
-                f"fid calculation produces singular product; adding {eps} "
-                "to diagonal of cov estimates")
+                f"covariance product is singular; retrying sqrtm with {eps} "
+                "added to the diagonal of both covariance estimates")
             offset = np.eye(sigma1.shape[0]) * eps
             covmean = linalg.sqrtm((sigma1 + offset).dot(sigma2 + offset))
 

@@ -1,13 +1,34 @@
 """InceptionV3 feature extractor (flax, NHWC) for FID / sFID / IS.
 
 TPU-native replacement for the reference's frozen TF1 InceptionV3 graph
-(utils/evaluator.py:17-27,526-567): the same TF-slim InceptionV3
+(utils/evaluator.py:17-27,526-567): the 2015 ``classify_image_graph_def``
 topology rebuilt in flax.linen, exposing
 
 - ``pool3``: 2048-d global-average-pool features (FID),
-- ``spatial``: first 7 channels of the Mixed_6 tower input, flattened
-  (sFID, matching the reference's 'mixed_6/conv' truncation),
-- ``softmax``: 1008-way class probabilities (IS).
+- ``spatial``: first 7 channels of the third 17x17 block's 1x1-branch
+  conv output, flattened (sFID; the reference's ``mixed_6/conv:0``
+  truncated to 7 channels, utils/evaluator.py:26-27,552),
+- ``softmax``: 1008-way class probabilities (IS) — bias-free matmul of
+  pool3 with the logits weight, exactly as the reference's softmax
+  graph builds it (utils/evaluator.py:556-567, no bias add).
+
+Semantics are matched to the frozen graph, not to textbook InceptionV3:
+
+- **Input preprocessing follows the graph's own nodes** (the reference
+  maps its float [0,255] batch onto ``ExpandDims:0`` and lets the graph
+  do the rest, utils/evaluator.py:544-547): legacy TF1 ResizeBilinear
+  with ``align_corners=False`` (source coordinate = dst * in/out, NOT
+  half-pixel centers like jax.image.resize) to 299x299, then
+  ``(x - 128) * 0.0078125``.
+- **SAME average pools exclude padded cells** (TF AvgPool semantics;
+  flax's default divides by the full window) in every mixed block.
+- **The second 8x8 block pools with MAX**, a quirk of the 2015 graph
+  documented by pytorch-fid's ``FIDInceptionE_2`` patch; the first 8x8
+  block uses the padding-excluding average.
+
+All of this is cross-checked against a TF1 frozen GraphDef built with
+the same topology in tests/test_inception_tf.py (TF is available in the
+build image even though the OpenAI .pb itself is not downloadable).
 
 BatchNorm is folded: every conv is kernel+bias, so real weights exported
 from the OpenAI .pb (conv kernels with folded BN) can be loaded from an
@@ -46,8 +67,16 @@ class ConvBN(nn.Module):
         return nn.relu(x)
 
 
+def _avg_pool_same(x):
+    """3x3 stride-1 SAME average pool with TF semantics: padded cells
+    are EXCLUDED from the average (the frozen graph's AvgPool op divides
+    by the valid-cell count; flax's default divides by 9 everywhere,
+    which differs along every image border)."""
+    return nn.avg_pool(x, (3, 3), (1, 1), "SAME", count_include_pad=False)
+
+
 class MixedA(nn.Module):
-    """35x35 block (Mixed_5b/5c/5d)."""
+    """35x35 block (mixed/mixed_1/mixed_2 in the 2015 graph)."""
 
     pool_features: int
 
@@ -59,7 +88,7 @@ class MixedA(nn.Module):
         b2 = ConvBN(64, (1, 1))(x)
         b2 = ConvBN(96, (3, 3))(b2)
         b2 = ConvBN(96, (3, 3))(b2)
-        b3 = nn.avg_pool(x, (3, 3), (1, 1), "SAME")
+        b3 = _avg_pool_same(x)
         b3 = ConvBN(self.pool_features, (1, 1))(b3)
         return jnp.concatenate([b0, b1, b2, b3], axis=-1)
 
@@ -78,7 +107,11 @@ class ReductionA(nn.Module):
 
 
 class MixedB(nn.Module):
-    """17x17 block with 7x1/1x7 factorization (Mixed_6b..6e)."""
+    """17x17 block with 7x1/1x7 factorization (mixed_4..mixed_7).
+
+    Returns ``(concat, branch0)``: the third block's 1x1-branch conv
+    output is the sFID spatial tensor (``mixed_6/conv:0``,
+    reference utils/evaluator.py:26-27)."""
 
     c7: int
 
@@ -94,9 +127,9 @@ class MixedB(nn.Module):
         b2 = ConvBN(c7, (1, 7))(b2)
         b2 = ConvBN(c7, (7, 1))(b2)
         b2 = ConvBN(192, (1, 7))(b2)
-        b3 = nn.avg_pool(x, (3, 3), (1, 1), "SAME")
+        b3 = _avg_pool_same(x)
         b3 = ConvBN(192, (1, 1))(b3)
-        return jnp.concatenate([b0, b1, b2, b3], axis=-1)
+        return jnp.concatenate([b0, b1, b2, b3], axis=-1), b0
 
 
 class ReductionB(nn.Module):
@@ -115,7 +148,13 @@ class ReductionB(nn.Module):
 
 
 class MixedC(nn.Module):
-    """8x8 block (Mixed_7b/7c)."""
+    """8x8 block (mixed_9/mixed_10).
+
+    The 2015 frozen graph's SECOND 8x8 block pools with max, not
+    average — the quirk pytorch-fid patches as FIDInceptionE_2; the
+    first uses the padding-excluding average (FIDInceptionE_1)."""
+
+    pool: str = "avg"
 
     @nn.compact
     def __call__(self, x):
@@ -127,19 +166,22 @@ class MixedC(nn.Module):
         b2 = ConvBN(384, (3, 3))(b2)
         b2 = jnp.concatenate([ConvBN(384, (1, 3))(b2),
                               ConvBN(384, (3, 1))(b2)], axis=-1)
-        b3 = nn.avg_pool(x, (3, 3), (1, 1), "SAME")
+        if self.pool == "max":
+            b3 = nn.max_pool(x, (3, 3), (1, 1), "SAME")
+        else:
+            b3 = _avg_pool_same(x)
         b3 = ConvBN(192, (1, 1))(b3)
         return jnp.concatenate([b0, b1, b2, b3], axis=-1)
 
 
 class InceptionV3(nn.Module):
-    """Full TF-slim InceptionV3 trunk returning FID/sFID/IS heads."""
+    """Full 2015-frozen-graph InceptionV3 trunk with FID/sFID/IS heads."""
 
     spatial_channels: int = 7
 
     @nn.compact
     def __call__(self, x) -> Dict[str, jnp.ndarray]:
-        """x: (B, 299, 299, 3) scaled to [-1, 1]."""
+        """x: (B, 299, 299, 3) preprocessed to (raw - 128) / 128."""
         x = ConvBN(32, (3, 3), (2, 2), "VALID")(x)
         x = ConvBN(32, (3, 3), (1, 1), "VALID")(x)
         x = ConvBN(64, (3, 3))(x)
@@ -153,23 +195,51 @@ class InceptionV3(nn.Module):
         x = MixedA(64)(x)
 
         x = ReductionA()(x)
-        # sFID spatial features: first channels of the 17x17 tower input
-        spatial = x[..., : self.spatial_channels]
-        spatial = spatial.reshape(x.shape[0], -1)
 
-        x = MixedB(128)(x)
-        x = MixedB(160)(x)
-        x = MixedB(160)(x)
-        x = MixedB(192)(x)
+        x, _ = MixedB(128)(x)   # mixed_4
+        x, _ = MixedB(160)(x)   # mixed_5
+        x, sp = MixedB(160)(x)  # mixed_6: its 1x1 branch is 'mixed_6/conv'
+        spatial = sp[..., : self.spatial_channels].reshape(sp.shape[0], -1)
+        x, _ = MixedB(192)(x)   # mixed_7
 
         x = ReductionB()(x)
-        x = MixedC()(x)
-        x = MixedC()(x)
+        x = MixedC(pool="avg")(x)
+        x = MixedC(pool="max")(x)
 
         pool3 = x.mean(axis=(1, 2))  # (B, 2048)
-        logits = nn.Dense(N_CLASSES, dtype=x.dtype)(pool3)
+        # Reference softmax graph: softmax(pool3 @ W), bias deliberately
+        # NOT applied (utils/evaluator.py:561-567 matmuls w only).
+        logits = nn.Dense(N_CLASSES, use_bias=False, dtype=x.dtype)(pool3)
         return {"pool3": pool3, "spatial": spatial,
                 "softmax": jax.nn.softmax(logits, axis=-1)}
+
+
+def _tf1_bilinear_matrix(in_size: int, out_size: int) -> np.ndarray:
+    """(out, in) interpolation matrix reproducing TF1 ResizeBilinear
+    with align_corners=False / half_pixel_centers=False: source
+    coordinate = dst_index * (in/out), floor/ceil lerp, clamped at the
+    top edge.  Verified against tf.compat.v1.image.resize_bilinear."""
+    scale = in_size / out_size
+    src = np.arange(out_size, dtype=np.float64) * scale
+    lo = np.minimum(np.floor(src).astype(np.int64), in_size - 1)
+    hi = np.minimum(lo + 1, in_size - 1)
+    frac = (src - lo).astype(np.float64)
+    m = np.zeros((out_size, in_size), np.float64)
+    m[np.arange(out_size), lo] += 1.0 - frac
+    m[np.arange(out_size), hi] += frac
+    return m.astype(np.float32)
+
+
+def tf1_resize_bilinear(x: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
+    """Legacy-TF1 bilinear resize of NHWC ``x`` via two small dense
+    interpolation matmuls (MXU-friendly; shapes are static under jit)."""
+    b, h, w, c = x.shape
+    if (h, w) == (out_h, out_w):
+        return x
+    mh = jnp.asarray(_tf1_bilinear_matrix(h, out_h))
+    mw = jnp.asarray(_tf1_bilinear_matrix(w, out_w))
+    x = jnp.einsum("oh,bhwc->bowc", mh, x)
+    return jnp.einsum("pw,bowc->bopc", mw, x)
 
 
 class FeatureExtractor:
@@ -192,10 +262,13 @@ class FeatureExtractor:
 
         @jax.jit
         def _features(params, x_uint8):
+            # Mirror the frozen graph's own preprocessing nodes, in graph
+            # order (reference feeds raw float [0,255] at ExpandDims:0,
+            # utils/evaluator.py:544-547): legacy ResizeBilinear to
+            # 299x299, then Sub(128), Mul(1/128).
             x = x_uint8.astype(jnp.float32)
-            x = jax.image.resize(
-                x, (x.shape[0], INCEPTION_SIZE, INCEPTION_SIZE, 3), "bilinear")
-            x = x / 127.5 - 1.0
+            x = tf1_resize_bilinear(x, INCEPTION_SIZE, INCEPTION_SIZE)
+            x = (x - 128.0) * 0.0078125
             return self.model.apply(params, x)
 
         self._features = _features

@@ -78,6 +78,6 @@ def compute_prec_recall(real_features: np.ndarray, fake_features: np.ndarray,
     """precision = frac(fake in real manifold); recall = frac(real in fake)."""
     real_m = ManifoldEstimator(real_features, nhood_size)
     fake_m = ManifoldEstimator(fake_features, nhood_size)
-    precision = fake_m_in_real = real_m.evaluate(fake_features).mean()
+    precision = real_m.evaluate(fake_features).mean()
     recall = fake_m.evaluate(real_features).mean()
     return float(precision), float(recall)

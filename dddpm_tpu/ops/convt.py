@@ -25,7 +25,7 @@ i.e. the even phase is the 2-tap conv w[0::2] over window (m-1, m) and
 the odd phase is w[1::2] over (m, m+1) — no kernel flip.
 
 Exact-equivalence is asserted against flax nn.ConvTranspose in
-tests/test_pallas.py.
+tests/test_convt.py.
 """
 from __future__ import annotations
 

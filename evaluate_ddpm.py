@@ -36,6 +36,9 @@ def main():
     p.add_argument("--test-batches", type=int, default=None,
                    help="cap test-loss batches (full T-step VLB is slow)")
     p.add_argument("--skip-test-losses", action="store_true")
+    p.add_argument("--prec-recall-subset", type=int, default=None,
+                   help="subsample the P/R manifold estimate to N features "
+                        "(default: full set, matching the reference)")
     args = p.parse_args()
 
     config = ckpt.load_config(args.checkpoint)
@@ -63,7 +66,9 @@ def main():
     # paths stream in bounded memory (npy mmap / npz chunked decompress);
     # 50k 256^2 sample files are ~10GB
     evaluator = Evaluator(args.inception_weights)
-    metrics.update(evaluator.evaluate(args.reference, args.samples))
+    metrics.update(evaluator.evaluate(
+        args.reference, args.samples,
+        prec_recall_subset=args.prec_recall_subset))
 
     print(json.dumps(metrics, indent=2))
 

@@ -39,12 +39,15 @@ def main():
                    help="use strided DDIM sampling with this many steps "
                         "instead of the full ancestral chain")
     p.add_argument("--ddim-eta", type=float, default=0.0)
-    p.add_argument("--prng-impl", default="rbg",
+    p.add_argument("--prng-impl", default="threefry2x32",
                    choices=["rbg", "threefry2x32"],
-                   help="PRNG for sampling noise. 'rbg' uses the TPU "
-                        "hardware generator (~0.25 ms/step faster at "
-                        "bs 96 than counter-based threefry); identical "
-                        "N(0,1) distribution, different stream")
+                   help="PRNG for sampling noise. threefry (default) is "
+                        "the stable counter-based stream: same seed -> "
+                        "same samples across JAX/XLA versions. 'rbg' uses "
+                        "the TPU hardware generator (~0.25 ms/step faster "
+                        "at bs 96; identical N(0,1) distribution, but the "
+                        "stream is NOT guaranteed stable across software "
+                        "versions — bench.py opts into it for throughput)")
     args = p.parse_args()
 
     config = ckpt.load_config(args.checkpoint)

@@ -43,13 +43,16 @@ def fold_bn(kernel, beta, mean, var, gamma=None, eps=BN_EPS):
     return folded_kernel, folded_bias
 
 
-def build_entries(tf_convs, logits_kernel=None, logits_bias=None):
+def build_entries(tf_convs, logits_kernel=None):
     """Map graph-ordered TF convs onto flax param paths.
 
     tf_convs: ordered list of dicts with keys
         {'name', 'kernel', 'beta', 'mean', 'var'[, 'gamma']}.
     Raises ValueError on any count or shape disagreement with the flax
-    InceptionV3 template.
+    InceptionV3 template.  The softmax logits bias is deliberately not
+    exported: the reference's softmax graph matmuls pool3 with the
+    weight only (utils/evaluator.py:556-567), and the flax Dense head
+    is bias-free to match.
     """
     from dddpm_tpu.evaluation.inception import (
         conv_param_paths, param_template_shapes)
@@ -81,17 +84,15 @@ def build_entries(tf_convs, logits_kernel=None, logits_bias=None):
 
     if logits_kernel is not None:
         want = template["params/Dense_0/kernel"]
-        lk = np.asarray(logits_kernel, np.float32).reshape(want)
-        entries["params/Dense_0/kernel"] = lk
-        if logits_bias is None:
-            logits_bias = np.zeros(want[-1], np.float32)
-        entries["params/Dense_0/bias"] = np.asarray(
-            logits_bias, np.float32).reshape(want[-1])
+        entries["params/Dense_0/kernel"] = np.asarray(
+            logits_kernel, np.float32).reshape(want)
     return entries
 
 
 def read_tf_graph(pb_path):
-    """Walk the frozen graph: ordered BN-conv dicts + softmax matmul."""
+    """Walk the frozen graph: ordered BN-conv dicts + softmax matmul
+    weight.  (The matmul's bias is never read — the reference's softmax
+    graph does not apply it.)"""
     try:
         import tensorflow.compat.v1 as tf
     except ImportError:
@@ -130,14 +131,11 @@ def read_tf_graph(pb_path):
             "mean": mean, "var": var, "gamma": maybe(f"{base}/batchnorm/gamma"),
         })
 
-    logits_kernel = logits_bias = None
+    logits_kernel = None
     for node in graph_def.node:
         if node.op == "MatMul" and node.input[1] in consts:
             logits_kernel = tensor(node.input[1])
-    for name in ("softmax/biases", "softmax_b", "softmax/b"):
-        if name in consts:
-            logits_bias = tensor(name)
-    return tf_convs, logits_kernel, logits_bias
+    return tf_convs, logits_kernel
 
 
 def main():
@@ -146,8 +144,8 @@ def main():
     p.add_argument("--out", required=True)
     args = p.parse_args()
 
-    tf_convs, logits_kernel, logits_bias = read_tf_graph(args.pb)
-    entries = build_entries(tf_convs, logits_kernel, logits_bias)
+    tf_convs, logits_kernel = read_tf_graph(args.pb)
+    entries = build_entries(tf_convs, logits_kernel)
     np.savez(args.out, **entries)
     print(f"wrote {len(entries)} arrays to {args.out}")
 

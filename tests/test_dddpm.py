@@ -108,6 +108,7 @@ def test_sample_returns_both_spaces(dddpm):
     assert np.isfinite(np.asarray(x_s)).all()
 
 
+@pytest.mark.slow
 def test_reconstruct_returns_both_spaces(dddpm):
     _, proc, params = dddpm
     x = jax.random.uniform(jax.random.PRNGKey(3), (4, 16, 16, 1))
@@ -116,6 +117,7 @@ def test_reconstruct_returns_both_spaces(dddpm):
     assert z_r.shape == (3, 8, 8, 4)
 
 
+@pytest.mark.slow
 def test_loss_fn_metrics(dddpm):
     _, proc, params = dddpm
     x = jax.random.uniform(jax.random.PRNGKey(5), (4, 16, 16, 1),
@@ -142,6 +144,7 @@ def test_recon_loss_gated_by_t(dddpm):
     assert float(parts["recon"]) > 0.0
 
 
+@pytest.mark.slow
 def test_autoencoder_stops_gradient_to_downsampler_from_ddpm_loss(dddpm):
     """In the AE variant the latent DDPM loss must NOT produce grads on
     the downsampler (z is detached); recon loss must."""

@@ -1,0 +1,235 @@
+"""Cross-framework golden: flax InceptionV3 vs a real TF1 frozen graph.
+
+The OpenAI ``classify_image_graph_def.pb`` cannot be downloaded in this
+image, but TensorFlow itself is available — so this test constructs a
+frozen GraphDef with the SAME topology, node naming, and preprocessing
+as the 2015 graph (random weights), then
+
+1. runs the exporter's full TF leg (``read_tf_graph`` on the serialized
+   .pb -> ``build_entries`` -> strict ``load_params_npz``), and
+2. feeds one float [0,255] batch to both the TF graph — imported with
+   the reference's exact ``input_map={'ExpandDims:0': batch}`` recipe
+   (/root/reference/utils/evaluator.py:539-553) — and the flax
+   ``FeatureExtractor``, asserting pool3 / spatial / softmax agree.
+
+This is the real semantics check behind the self-referential activation
+golden: it catches resize-coordinate, pool-padding, pool-type, branch-
+order, normalization, and BN-folding divergences all at once.  Topology
+and naming follow the 2015 graph as documented by pytorch-fid's
+FIDInception patches and the TTUR fid.py graph walk; the padding-
+excluding SAME avg-pool and the max-pool in the second 8x8 block are
+load-bearing details.
+"""
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+
+tf = pytest.importorskip("tensorflow").compat.v1
+
+pytestmark = pytest.mark.slow
+
+BN_EPS = 1e-3
+
+
+def _build_graph(rng):
+    """Build the 2015-topology graph; returns (graph_def, n_convs).
+
+    Conv kernel shapes are drawn from the flax template in flax call
+    order, so the two walks are forced to agree shape-by-shape (any
+    topology divergence fails at conv/concat/matmul construction).
+    """
+    from dddpm_tpu.evaluation.inception import (
+        conv_param_paths, param_template_shapes)
+
+    template = param_template_shapes()
+    kernel_shapes = [template[f"{p}/kernel"]
+                     for p in conv_param_paths(include_dense=False)]
+    kernels = iter(kernel_shapes)
+
+    g = tf.Graph()
+    with g.as_default():
+        def convbn(x, base, strides=1, padding="SAME"):
+            shape = next(kernels)
+            fan_in = shape[0] * shape[1] * shape[2]
+            k = tf.constant(
+                (rng.randn(*shape) * np.sqrt(2.0 / fan_in)).astype(
+                    np.float32), name=f"{base}/kernel")
+            conv = tf.nn.conv2d(x, k, strides=[1, strides, strides, 1],
+                                padding=padding, name=f"{base}/Conv2D")
+            cout = shape[-1]
+            beta = tf.constant(
+                (0.05 * rng.randn(cout)).astype(np.float32),
+                name=f"{base}/batchnorm/beta")
+            mean = tf.constant(
+                (0.05 * rng.randn(cout)).astype(np.float32),
+                name=f"{base}/batchnorm/moving_mean")
+            var = tf.constant(
+                (1.0 + 0.2 * rng.rand(cout)).astype(np.float32),
+                name=f"{base}/batchnorm/moving_variance")
+            # 2015 graph batchnorm has no gamma (scale_after_norm=False)
+            bn = tf.nn.batch_normalization(conv, mean, var, beta, None,
+                                           BN_EPS)
+            return tf.nn.relu(bn, name=base)
+
+        def mixed_a(x, name):
+            b0 = convbn(x, f"{name}/conv")
+            b1 = convbn(x, f"{name}/tower/conv")
+            b1 = convbn(b1, f"{name}/tower/conv_1")
+            b2 = convbn(x, f"{name}/tower_1/conv")
+            b2 = convbn(b2, f"{name}/tower_1/conv_1")
+            b2 = convbn(b2, f"{name}/tower_1/conv_2")
+            b3 = tf.nn.avg_pool2d(x, 3, 1, "SAME",
+                                  name=f"{name}/tower_2/pool")
+            b3 = convbn(b3, f"{name}/tower_2/conv")
+            return tf.concat([b0, b1, b2, b3], 3, name=f"{name}/join")
+
+        def mixed_b(x, name):
+            b0 = convbn(x, f"{name}/conv")
+            b1 = convbn(x, f"{name}/tower/conv")
+            b1 = convbn(b1, f"{name}/tower/conv_1")
+            b1 = convbn(b1, f"{name}/tower/conv_2")
+            b2 = convbn(x, f"{name}/tower_1/conv")
+            b2 = convbn(b2, f"{name}/tower_1/conv_1")
+            b2 = convbn(b2, f"{name}/tower_1/conv_2")
+            b2 = convbn(b2, f"{name}/tower_1/conv_3")
+            b2 = convbn(b2, f"{name}/tower_1/conv_4")
+            b3 = tf.nn.avg_pool2d(x, 3, 1, "SAME",
+                                  name=f"{name}/tower_2/pool")
+            b3 = convbn(b3, f"{name}/tower_2/conv")
+            return tf.concat([b0, b1, b2, b3], 3, name=f"{name}/join")
+
+        def mixed_c(x, name, pool):
+            b0 = convbn(x, f"{name}/conv")
+            b1 = convbn(x, f"{name}/tower/conv")
+            b1 = tf.concat([convbn(b1, f"{name}/tower/mixed/conv"),
+                            convbn(b1, f"{name}/tower/mixed/conv_1")], 3)
+            b2 = convbn(x, f"{name}/tower_1/conv")
+            b2 = convbn(b2, f"{name}/tower_1/conv_1")
+            b2 = tf.concat([convbn(b2, f"{name}/tower_1/mixed/conv"),
+                            convbn(b2, f"{name}/tower_1/mixed/conv_1")], 3)
+            if pool == "max":
+                b3 = tf.nn.max_pool2d(x, 3, 1, "SAME",
+                                      name=f"{name}/tower_2/pool")
+            else:
+                b3 = tf.nn.avg_pool2d(x, 3, 1, "SAME",
+                                      name=f"{name}/tower_2/pool")
+            b3 = convbn(b3, f"{name}/tower_2/conv")
+            return tf.concat([b0, b1, b2, b3], 3, name=f"{name}/join")
+
+        # preprocessing exactly as the 2015 graph: the reference maps its
+        # batched float [0,255] tensor onto ExpandDims:0 and the graph's
+        # own ResizeBilinear/Sub/Mul run downstream.
+        raw = tf.placeholder(tf.uint8, (None, None, 3), name="input_image")
+        casted = tf.cast(raw, tf.float32, name="Cast")
+        x = tf.expand_dims(casted, 0, name="ExpandDims")
+        x = tf.image.resize_bilinear(x, (299, 299), align_corners=False,
+                                     name="ResizeBilinear")
+        x = tf.subtract(x, 128.0, name="Sub")
+        x = tf.multiply(x, 0.0078125, name="Mul")
+
+        x = convbn(x, "conv", strides=2, padding="VALID")
+        x = convbn(x, "conv_1", padding="VALID")
+        x = convbn(x, "conv_2")
+        x = tf.nn.max_pool2d(x, 3, 2, "VALID", name="pool")
+        x = convbn(x, "conv_3", padding="VALID")
+        x = convbn(x, "conv_4", padding="VALID")
+        x = tf.nn.max_pool2d(x, 3, 2, "VALID", name="pool_1")
+
+        x = mixed_a(x, "mixed")
+        x = mixed_a(x, "mixed_1")
+        x = mixed_a(x, "mixed_2")
+
+        # mixed_3: 35x35 -> 17x17 reduction
+        b0 = convbn(x, "mixed_3/conv", strides=2, padding="VALID")
+        b1 = convbn(x, "mixed_3/tower/conv")
+        b1 = convbn(b1, "mixed_3/tower/conv_1")
+        b1 = convbn(b1, "mixed_3/tower/conv_2", strides=2, padding="VALID")
+        b2 = tf.nn.max_pool2d(x, 3, 2, "VALID", name="mixed_3/pool")
+        x = tf.concat([b0, b1, b2], 3, name="mixed_3/join")
+
+        x = mixed_b(x, "mixed_4")
+        x = mixed_b(x, "mixed_5")
+        x = mixed_b(x, "mixed_6")
+        x = mixed_b(x, "mixed_7")
+
+        # mixed_8: 17x17 -> 8x8 reduction
+        b0 = convbn(x, "mixed_8/tower/conv")
+        b0 = convbn(b0, "mixed_8/tower/conv_1", strides=2, padding="VALID")
+        b1 = convbn(x, "mixed_8/tower_1/conv")
+        b1 = convbn(b1, "mixed_8/tower_1/conv_1")
+        b1 = convbn(b1, "mixed_8/tower_1/conv_2")
+        b1 = convbn(b1, "mixed_8/tower_1/conv_3", strides=2, padding="VALID")
+        b2 = tf.nn.max_pool2d(x, 3, 2, "VALID", name="mixed_8/pool")
+        x = tf.concat([b0, b1, b2], 3, name="mixed_8/join")
+
+        x = mixed_c(x, "mixed_9", pool="avg")
+        # the 2015 graph's known quirk: mixed_10 pools with MAX
+        x = mixed_c(x, "mixed_10", pool="max")
+
+        x = tf.nn.avg_pool2d(x, 8, 1, "VALID", name="pool_3")
+
+        w = tf.constant(
+            (0.02 * rng.randn(2048, 1008)).astype(np.float32),
+            name="softmax/weights")
+        flat = tf.reshape(x, [-1, 2048], name="pool_3/reshape")
+        tf.matmul(flat, w, name="softmax/logits/MatMul")
+
+        assert next(kernels, None) is None, "flax template has more convs"
+        return g.as_graph_def(), len(kernel_shapes)
+
+
+def test_flax_inception_matches_tf_frozen_graph(tmp_path):
+    from export_inception_weights import build_entries, read_tf_graph
+    from dddpm_tpu.evaluation.inception import FeatureExtractor
+
+    rng = np.random.RandomState(7)
+    graph_def, n_convs = _build_graph(rng)
+    pb = str(tmp_path / "synthetic_inception.pb")
+    with open(pb, "wb") as f:
+        f.write(graph_def.SerializeToString())
+
+    # --- exporter TF leg: .pb -> folded npz -> strict flax load
+    tf_convs, logits_kernel = read_tf_graph(pb)
+    assert len(tf_convs) == n_convs
+    assert logits_kernel is not None and logits_kernel.shape == (2048, 1008)
+    entries = build_entries(tf_convs, logits_kernel)
+    npz = str(tmp_path / "weights.npz")
+    np.savez(npz, **entries)
+
+    batch = rng.randint(0, 256, size=(3, 64, 48, 3)).astype(np.uint8)
+
+    # --- TF side: import with the reference's exact input_map recipe
+    # (utils/evaluator.py:539-553) and fetch pool_3 / mixed_6/conv.
+    with tf.Graph().as_default() as run_graph:
+        input_batch = tf.placeholder(tf.float32, (None, None, None, 3))
+        pool3_t, spatial_t = tf.import_graph_def(
+            graph_def,
+            input_map={"ExpandDims:0": input_batch},
+            return_elements=["pool_3:0", "mixed_6/conv:0"],
+            name="fid",
+        )
+        spatial_t = spatial_t[..., :7]
+        with tf.Session(graph=run_graph) as sess:
+            pool3_tf, spatial_tf = sess.run(
+                [pool3_t, spatial_t],
+                {input_batch: batch.astype(np.float32)})
+    pool3_tf = pool3_tf.reshape(pool3_tf.shape[0], -1)
+    spatial_tf = spatial_tf.reshape(spatial_tf.shape[0], -1)
+    logits_tf = pool3_tf @ logits_kernel  # softmax graph: matmul, no bias
+    softmax_tf = np.exp(logits_tf - logits_tf.max(-1, keepdims=True))
+    softmax_tf /= softmax_tf.sum(-1, keepdims=True)
+
+    # --- flax side
+    fe = FeatureExtractor(npz, batch_size=3)
+    out = fe(batch)
+
+    assert np.isfinite(pool3_tf).all() and np.abs(pool3_tf).max() > 1e-3
+    np.testing.assert_allclose(out["pool3"], pool3_tf, rtol=2e-3, atol=2e-4)
+    np.testing.assert_allclose(out["spatial"], spatial_tf,
+                               rtol=2e-3, atol=2e-4)
+    np.testing.assert_allclose(out["softmax"], softmax_tf,
+                               rtol=2e-3, atol=1e-6)

@@ -122,3 +122,35 @@ def test_fused_attention_block_gradients():
     for a, b in zip(jax.tree.leaves(g_pl), jax.tree.leaves(g_ref)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-3, atol=1e-3)
+
+
+def test_fused_attention_block_clamped_regime_consistency():
+    """If any k-logit exceeds K_CLAMP, the fused forward (unshifted
+    clamped exp) must still equal _reference_impl (which applies the
+    SAME clamp before its softmax) — so the custom-VJP backward is
+    derived from the function the forward actually computes."""
+    from dddpm_tpu.ops.pallas import attention_block as ab
+
+    c, hidden = 64, 128
+    key = jax.random.PRNGKey(9)
+    ks = jax.random.split(key, 6)
+    x = jax.random.normal(ks[0], (1, 64, c))
+    g = jnp.ones(c) + 0.1 * jax.random.normal(ks[1], (c,))
+    b = 0.1 * jax.random.normal(ks[2], (c,))
+    # blow up the k-slab so logits far exceed K_CLAMP
+    w_qkv = jax.random.normal(ks[3], (c, 3 * hidden))
+    w_qkv = w_qkv.at[:, hidden:2 * hidden].mul(10.0 * ab.K_CLAMP)
+    w_out = jax.random.normal(ks[4], (hidden, c)) * 0.1
+    b_out = 0.1 * jax.random.normal(ks[5], (c,))
+
+    ref = ab._reference_impl(x, g, b, w_qkv, w_out, b_out, 32)
+    # sanity: the clamp actually binds for this input
+    ln = ab._layer_norm_f32(x, g, b)
+    logits = ln @ w_qkv[:, hidden:2 * hidden]
+    assert float(jnp.max(logits)) > ab.K_CLAMP
+    got = ab.attention_block(x, g, b, w_qkv, w_out, b_out, 32, True)
+    assert np.isfinite(np.asarray(got)).all()
+    # loose tolerance: exp(~K_CLAMP) magnitudes make f32 accumulation
+    # order visible; this checks consistency, not precision
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-2, atol=1e-2)

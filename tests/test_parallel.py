@@ -1,6 +1,7 @@
 """Mesh/sharding tests on the virtual 8-device CPU mesh: data-parallel
 train step equals single-device results, sharded bulk sampling works."""
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P
@@ -46,6 +47,7 @@ def test_shard_batch_layout(devices):
     np.testing.assert_array_equal(np.asarray(xs), x)
 
 
+@pytest.mark.slow
 def test_data_parallel_step_matches_single_device(devices):
     """Same batch, same state: sharded-over-8 must equal single-device."""
     net, proc, init_fn, cfg = build_model(dict(CFG))

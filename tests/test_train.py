@@ -165,6 +165,7 @@ def test_trainer_resume(tmp_path):
     assert trainer2.step == 5
 
 
+@pytest.mark.slow
 def test_trainer_dddpm_metrics(tmp_path):
     from dddpm_tpu.train.trainer import setup_trainer
 
@@ -187,6 +188,7 @@ def test_trainer_dddpm_metrics(tmp_path):
     assert {"train_obj", "train_latent", "train_recon"} <= set(rows[0])
 
 
+@pytest.mark.slow
 def test_trainer_knob_wiring(tmp_path):
     """mesh_shape / fsdp / prefetch / remat are all reachable from the
     run config and change observable behavior (VERDICT r1 item 4)."""
@@ -210,6 +212,7 @@ def test_trainer_knob_wiring(tmp_path):
     assert all(np.isfinite(l) for l in trainer.train_losses)
 
 
+@pytest.mark.slow
 def test_trainer_prefetch_matches_inline(tmp_path):
     """prefetch is a pure latency optimization: identical loss stream."""
     from dddpm_tpu.train.trainer import setup_trainer

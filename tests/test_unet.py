@@ -106,6 +106,7 @@ def test_from_config():
     assert model.dim == 16 and model.dtype == jnp.bfloat16
 
 
+@pytest.mark.slow
 def test_remat_preserves_values_params_and_grads():
     """nn.remat variant: same param tree, same outputs, same grads."""
     kwargs = dict(dim=16, in_channels=3, dim_mults=(1, 2), dropout=0.0)
@@ -150,6 +151,7 @@ def test_resnet_block_skip_split_matches_concat():
     assert jnp.max(jnp.abs(want - got)) < 1e-5
 
 
+@pytest.mark.slow
 def test_unet_bf16_dropout_gradients():
     """Regression: bf16 compute + active dropout + grad through the
     split-kernel convs (a preferred_element_type=f32 conv with bf16
