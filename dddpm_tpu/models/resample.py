@@ -133,7 +133,13 @@ class ConvResBlock(nn.Module):
                                    (b, hh, 2, ww, 2, c))
             out = out.reshape(b, hh * 2, ww * 2, c)
         elif self.downsample:
-            out = nn.avg_pool(out, (2, 2), strides=(2, 2))
+            # 2x2/2 average pool as reshape + mean: same values as
+            # nn.avg_pool (non-overlapping windows), but both directions
+            # are pure reshapes/broadcasts — reduce_window and its VJP
+            # are avoided for the same reason as the upsample above
+            b, hh, ww, c = out.shape
+            out = out.reshape(b, hh // 2, 2, ww // 2, 2, c)
+            out = (out.sum(axis=(2, 4)) * 0.25).astype(h.dtype)
         return out
 
 

@@ -175,12 +175,20 @@ def main():
     p.add_argument("--steps", type=int, default=300)
     p.add_argument("--out", default="results/loss_curve_parity.json")
     p.add_argument("--window", type=int, default=50)
+    p.add_argument("--seeds", type=int, nargs="+", default=[0],
+                   help="one curve per seed per framework; with >=2 "
+                        "seeds the cross-seed SAME-framework ratio is "
+                        "reported as the natural noise band that the "
+                        "cross-framework ratio must stay within")
     args = p.parse_args()
 
     stream = make_stream(args.steps)
-    print(f"running {args.steps} steps x{ACCUM} accum, bs {BS}, {SIZE}^2 ...")
-    jc = jax_curve(args.steps, stream)
-    tc = torch_curve(args.steps, stream)
+    print(f"running {args.steps} steps x{ACCUM} accum, bs {BS}, {SIZE}^2, "
+          f"seeds {args.seeds} ...")
+    jcs = [jax_curve(args.steps, stream, seed=s) for s in args.seeds]
+    tcs = [torch_curve(args.steps, stream, seed=s) for s in args.seeds]
+    jc = np.mean(jcs, axis=0).tolist()
+    tc = np.mean(tcs, axis=0).tolist()
 
     ratios = window_ratios(jc, tc, args.window)
     final_ratio = float(np.mean(jc[-args.window:]) / np.mean(tc[-args.window:]))
@@ -189,15 +197,29 @@ def main():
     result = {
         "steps": args.steps, "batch_size": BS, "accum": ACCUM,
         "image_size": SIZE, "unet": {k: str(v) for k, v in UNET.items()},
+        "seeds": args.seeds,
         "torch_curve": tc, "jax_curve": jc,
+        "torch_curves": tcs, "jax_curves": jcs,
         "window": args.window, "window_ratios_jax_over_torch": ratios,
         "final_window_ratio": final_ratio,
         "loss_drop_torch": float(drop_t), "loss_drop_jax": float(drop_j),
     }
+    if len(args.seeds) >= 2:
+        result["window_ratios_torch_seed0_over_seed1"] = window_ratios(
+            tcs[0], tcs[1], args.window)
+        result["window_ratios_jax_seed0_over_seed1"] = window_ratios(
+            jcs[0], jcs[1], args.window)
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
     with open(args.out, "w") as f:
         json.dump(result, f)
     print(f"window ratios (jax/torch): {[f'{r:.3f}' for r in ratios]}")
+    if len(args.seeds) >= 2:
+        print("noise band (torch s0/s1):",
+              [f"{r:.3f}" for r in result[
+                  "window_ratios_torch_seed0_over_seed1"]])
+        print("noise band (jax s0/s1):  ",
+              [f"{r:.3f}" for r in result[
+                  "window_ratios_jax_seed0_over_seed1"]])
     print(f"final-window ratio {final_ratio:.3f}; "
           f"loss drop torch {drop_t:.2f}x jax {drop_j:.2f}x")
     assert all(0.8 < r < 1.25 for r in ratios), (

@@ -1,0 +1,247 @@
+"""Per-op roofline proof for the headline x2 256^2 sampling chain.
+
+For every convolution in ONE UNet eval of the dDDPM x2 chain (the op
+set that dominates the 1000-step reverse loop), this script
+
+1. extracts the exact conv specs from the jaxpr (no hand enumeration),
+2. times each spec the reliable way (lax.scan of N applications inside
+   one jit, scalar fetch — per-dispatch timing reads ~15x too fast
+   through the axon tunnel),
+3. times the conv's *equivalent GEMM* — the (M=B*H*W, K=kh*kw*Cin,
+   N=Cout) matmul an ideal im2col implementation would run, measured on
+   the same chip — and computes an HBM-traffic bound from the achieved
+   effective bandwidth,
+4. reports achieved TFLOPs vs max(structural bounds) per op and the
+   chain-level total.
+
+The output table is the evidence for BENCH notes: each op within ~10%
+of its structural bound means the remaining gap to the reference's
+1.98 imgs/sec is structural on this chip, not implementation slack.
+
+    python scripts/roofline_proof.py [--bs 96] [--json out.json]
+"""
+import argparse
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_tpu_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def collect_convs(jaxpr, out=None):
+    """All conv_general_dilated eqns (recursing into sub-jaxprs)."""
+    if out is None:
+        out = []
+    for eqn in jaxpr.eqns:
+        if eqn.primitive.name == "conv_general_dilated":
+            lhs, rhs = eqn.invars[0].aval, eqn.invars[1].aval
+            out.append({
+                "lhs": tuple(lhs.shape), "rhs": tuple(rhs.shape),
+                "dtype": str(lhs.dtype),
+                "strides": tuple(eqn.params["window_strides"]),
+                "padding": tuple(map(tuple, eqn.params["padding"])),
+                "lhs_dilation": tuple(eqn.params["lhs_dilation"]),
+                "rhs_dilation": tuple(eqn.params["rhs_dilation"]),
+                "dn": eqn.params["dimension_numbers"],
+                "out": tuple(eqn.outvars[0].aval.shape),
+            })
+        for v in eqn.params.values():
+            if isinstance(v, jax.extend.core.ClosedJaxpr):
+                collect_convs(v.jaxpr, out)
+            elif isinstance(v, (tuple, list)):
+                for vv in v:
+                    if isinstance(vv, jax.extend.core.ClosedJaxpr):
+                        collect_convs(vv.jaxpr, out)
+    return out
+
+
+def timed_scan(fn, args, scan_len=50):
+    """Wall time per application: scan inside one jit, scalar fetch."""
+    @jax.jit
+    def chain(*args):
+        def body(c, _):
+            return fn(*((c,) + args[1:])), None
+        y, _ = lax.scan(body, args[0], None, length=scan_len)
+        return jnp.sum(y.astype(jnp.float32))
+
+    _ = float(chain(*args))
+    best = np.inf
+    for _ in range(2):
+        start = time.perf_counter()
+        _ = float(chain(*args))
+        best = min(best, (time.perf_counter() - start) / scan_len)
+    return best
+
+
+def _carry_overhead(x):
+    """Cost of the `x + eps*sum(y)` carry trick used when an op's output
+    shape differs from its input: one extra elementwise pass over x.
+    Measured once per shape and subtracted."""
+    return timed_scan(lambda c: c * 1.000001, (x,))
+
+
+def time_conv(spec):
+    lhs = jax.random.normal(jax.random.PRNGKey(0), spec["lhs"],
+                            jnp.dtype(spec["dtype"]))
+    rhs = jax.random.normal(jax.random.PRNGKey(1), spec["rhs"],
+                            jnp.dtype(spec["dtype"])) * 0.05
+
+    strides, padding, dn = spec["strides"], spec["padding"], spec["dn"]
+    same_shape = spec["lhs"] == spec["out"]
+
+    def conv(x, w):
+        y = lax.conv_general_dilated(
+            x, w, strides, padding,
+            lhs_dilation=spec["lhs_dilation"],
+            rhs_dilation=spec["rhs_dilation"],
+            dimension_numbers=dn,
+            preferred_element_type=jnp.float32).astype(x.dtype)
+        if same_shape:
+            return y
+        # keep the carry shape scan-compatible without letting XLA
+        # hoist the conv: one extra elementwise pass, subtracted below
+        return x + jnp.sum(y).astype(x.dtype) * 1e-9
+
+    dt = timed_scan(conv, (lhs, rhs))
+    if not same_shape:
+        dt = max(dt - _carry_overhead(lhs), 1e-9)
+    return dt
+
+
+def time_gemm(m, k, n, dtype):
+    """The conv's ideal im2col GEMM on this chip."""
+    a = jax.random.normal(jax.random.PRNGKey(0), (m, k), dtype)
+    b = jax.random.normal(jax.random.PRNGKey(1), (k, n), dtype) * 0.05
+
+    def mm(a, b):
+        y = jnp.dot(a, b, preferred_element_type=jnp.float32).astype(a.dtype)
+        if k == n:
+            return y
+        return a + jnp.sum(y).astype(a.dtype) * 1e-9
+
+    dt = timed_scan(mm, (a, b))
+    if k != n:
+        dt = max(dt - _carry_overhead(a), 1e-9)
+    return dt
+
+
+def conv_flops(spec):
+    # NHWC out: (B, H, W, Cout)
+    b, h, w, cout = spec["out"]
+    kh, kw, cin, _ = spec["rhs"]
+    return 2 * b * h * w * kh * kw * cin * cout
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--bs", type=int, default=96)
+    p.add_argument("--json", default=None)
+    p.add_argument("--bw-gbs", type=float, default=None,
+                   help="effective HBM GB/s for the traffic bound "
+                        "(default: measured with a copy kernel)")
+    args = p.parse_args()
+
+    from dddpm_tpu.models.factory import build_model
+
+    config = {
+        "model": "dddpm", "dataset": "celeba_hq", "image_size": 256,
+        "batch_size": args.bs, "T": 1000, "loss_type": "simple",
+        "beta_schedule": "linear", "loss_flat": "sum",
+        "unet_chan": 128, "unet_dims": (1, 2, 2, 2), "unet_dropout": 0.1,
+        "unet_in": 8, "n_downsamples": 1,
+        "d_mode": "convolutional_res", "u_mode": "convolutional_res",
+        "d_dropout": 0, "d_chans": 64, "d_n_blocks": 3, "u_n_blocks": 3,
+        "ae_loss": True, "t_rec_max": 100, "force_latent": True,
+        "compute_dtype": "bfloat16",
+    }
+    net, process, init_fn, config = build_model(config)
+    params = init_fn(jax.random.PRNGKey(0))
+
+    z = jnp.zeros((args.bs, 128, 128, 8), jnp.bfloat16)
+    t = jnp.zeros((args.bs,), jnp.int32)
+
+    def unet_eval(z, t):
+        return process.eps_fn(params, z, t, None, False)
+
+    # measured effective bandwidth: big HBM->HBM stream
+    if args.bw_gbs is None:
+        buf = jax.random.normal(jax.random.PRNGKey(0), (256 * 1024 * 1024 // 2,),
+                                jnp.bfloat16)
+        dt = timed_scan(lambda x: x * 1.0001, (buf,), scan_len=50)
+        bw = 2 * buf.size * 2 / dt / 1e9
+    else:
+        bw = args.bw_gbs
+    print(f"effective HBM bandwidth (copy): {bw:.0f} GB/s", flush=True)
+
+    jaxpr = jax.make_jaxpr(
+        lambda p, z, t: process.eps_fn(p, z, t, None, False))(params, z, t)
+    convs = collect_convs(jaxpr.jaxpr)
+    print(f"UNet eval contains {len(convs)} convs", flush=True)
+
+    # full eval time for the coverage cross-check
+    def eval_carry(z, t):
+        return unet_eval(z, t).astype(jnp.bfloat16)
+
+    full_dt = timed_scan(eval_carry, (z, t))
+    print(f"full UNet eval: {full_dt * 1e3:.2f} ms", flush=True)
+
+    uniq = {}
+    for spec in convs:
+        key = (spec["lhs"], spec["rhs"], spec["strides"],
+               spec["lhs_dilation"], spec["dtype"])
+        uniq.setdefault(key, {"spec": spec, "count": 0})
+        uniq[key]["count"] += 1
+
+    rows = []
+    total_ach = total_bound = 0.0
+    for key, item in sorted(uniq.items(),
+                            key=lambda kv: -conv_flops(kv[1]["spec"])):
+        spec, count = item["spec"], item["count"]
+        dt = time_conv(spec)
+        b, h, w, cout = spec["out"]
+        kh, kw, cin, _ = spec["rhs"]
+        m, k_, n = b * h * w, kh * kw * cin, cout
+        gemm_dt = time_gemm(m, k_, n, jnp.dtype(spec["dtype"]))
+        bytes_moved = (int(np.prod(spec["lhs"])) + int(np.prod(spec["rhs"]))
+                       + int(np.prod(spec["out"]))) * 2
+        hbm_dt = bytes_moved / (bw * 1e9)
+        bound = max(gemm_dt, hbm_dt)
+        fl = conv_flops(spec)
+        rows.append({
+            "conv": f"{kh}x{kw} {h}x{w} {cin}->{cout} s{spec['strides'][0]}",
+            "count": count, "ms": dt * 1e3, "tflops": fl / dt / 1e12,
+            "gemm_ms": gemm_dt * 1e3, "hbm_ms": hbm_dt * 1e3,
+            "bound_ms": bound * 1e3, "ach_vs_bound": dt / bound,
+        })
+        total_ach += count * dt
+        total_bound += count * bound
+        r = rows[-1]
+        print(f"{r['conv']:28s} x{count:2d} {r['ms']:7.3f} ms "
+              f"{r['tflops']:6.1f} TF | gemm {r['gemm_ms']:7.3f} "
+              f"hbm {r['hbm_ms']:7.3f} -> bound {r['bound_ms']:7.3f} ms "
+              f"| ach/bound {r['ach_vs_bound']:.2f}", flush=True)
+
+    print(f"\nconv total {total_ach * 1e3:.1f} ms vs structural bound "
+          f"{total_bound * 1e3:.1f} ms (ratio {total_ach / total_bound:.2f})")
+    print(f"non-conv time in eval: {(full_dt - total_ach) * 1e3:.1f} ms "
+          "(attention, GN+mish, resamplers, elementwise)")
+
+    if args.json:
+        with open(args.json, "w") as f:
+            json.dump({"bs": args.bs, "bw_gbs": bw,
+                       "full_eval_ms": full_dt * 1e3, "convs": rows,
+                       "conv_total_ms": total_ach * 1e3,
+                       "conv_bound_ms": total_bound * 1e3}, f, indent=1)
+        print(f"wrote {args.json}")
+
+
+if __name__ == "__main__":
+    main()

@@ -227,3 +227,24 @@ def test_ddim_sample_returns_both_spaces(dddpm):
     assert x_s.shape == (2, 16, 16, 1)
     assert z_s.shape == (2, 8, 8, 4)
     assert np.isfinite(np.asarray(x_s)).all()
+
+
+def test_reshape_mean_pool_matches_avg_pool():
+    """ConvResBlock's downscale (reshape + mean) == nn.avg_pool 2x2/2 —
+    the reshape form is used for its cheap VJP (no reduce_window)."""
+    import jax.numpy as jnp
+    from flax import linen as nn
+
+    rng = np.random.RandomState(0)
+    for dtype in (jnp.float32, jnp.bfloat16):
+        x = jnp.asarray(rng.randn(2, 16, 16, 8), dtype)
+        want = nn.avg_pool(x, (2, 2), strides=(2, 2))
+        b, h, w, c = x.shape
+        got = (x.reshape(b, h // 2, 2, w // 2, 2, c).sum(axis=(2, 4))
+               * 0.25).astype(dtype)
+        bf16 = dtype == jnp.bfloat16
+        # bf16: accumulation-order rounding only (one ulp); f32 exact
+        np.testing.assert_allclose(np.asarray(got, np.float32),
+                                   np.asarray(want, np.float32),
+                                   rtol=1e-2 if bf16 else 1e-6,
+                                   atol=1e-2 if bf16 else 0)
