@@ -81,6 +81,9 @@ def timed_scan(fn, args, scan_len=50):
     return best
 
 
+MXU_PEAK_TF = 139e12  # measured bf16 ceiling on this chip (STATUS r2)
+
+
 def _carry_overhead(x):
     """Cost of the `x + eps*sum(y)` carry trick used when an op's output
     shape differs from its input: one extra elementwise pass over x.
@@ -116,28 +119,36 @@ def time_conv(spec):
     return dt
 
 
-def time_gemm(m, k, n, dtype):
-    """The conv's ideal im2col GEMM on this chip."""
-    a = jax.random.normal(jax.random.PRNGKey(0), (m, k), dtype)
-    b = jax.random.normal(jax.random.PRNGKey(1), (k, n), dtype) * 0.05
-
-    def mm(a, b):
-        y = jnp.dot(a, b, preferred_element_type=jnp.float32).astype(a.dtype)
-        if k == n:
-            return y
-        return a + jnp.sum(y).astype(a.dtype) * 1e-9
-
-    dt = timed_scan(mm, (a, b))
-    if k != n:
-        dt = max(dt - _carry_overhead(a), 1e-9)
-    return dt
+def _eff_taps(k, dilation):
+    """Effective (non-zero-input) taps per output point for a conv over
+    a lhs-dilated input: ceil(k / dilation).  A 4x4 ConvTranspose-by-2
+    touches only 2x2 real inputs per output — XLA's phase decomposition
+    skips the interleaved zeros, so counting all 16 taps inflates TF."""
+    return -(-k // dilation)
 
 
 def conv_flops(spec):
-    # NHWC out: (B, H, W, Cout)
+    """Effective FLOPs (dilation-aware)."""
     b, h, w, cout = spec["out"]
     kh, kw, cin, _ = spec["rhs"]
-    return 2 * b * h * w * kh * kw * cin * cout
+    dh, dw = spec["lhs_dilation"]
+    return 2 * b * h * w * _eff_taps(kh, dh) * _eff_taps(kw, dw) * cin * cout
+
+
+def gemm_bound_s(spec):
+    """Analytic MXU time for the conv's equivalent GEMM, at the chip's
+    MEASURED peak derated by lane/depth utilization of that GEMM shape:
+    N = Cout fills min(Cout,128)/128 of the lanes, K = taps*Cin fills
+    K/(ceil(K/128)*128) of the systolic depth.  This is the structural
+    bound any conv implementation of this shape obeys on this MXU —
+    unlike a measured big-M GEMM, it is not corrupted by the im2col
+    matrix's HBM traffic (which a real conv never pays)."""
+    kh, kw, cin, cout = spec["rhs"]
+    dh, dw = spec["lhs_dilation"]
+    k_eff = _eff_taps(kh, dh) * _eff_taps(kw, dw) * cin
+    lane = min(cout, 128) / 128.0
+    depth = k_eff / (-(-k_eff // 128) * 128)
+    return conv_flops(spec) / (MXU_PEAK_TF * lane * depth)
 
 
 def main():
@@ -208,31 +219,34 @@ def main():
         dt = time_conv(spec)
         b, h, w, cout = spec["out"]
         kh, kw, cin, _ = spec["rhs"]
-        m, k_, n = b * h * w, kh * kw * cin, cout
-        gemm_dt = time_gemm(m, k_, n, jnp.dtype(spec["dtype"]))
+        gemm_dt = gemm_bound_s(spec)
         bytes_moved = (int(np.prod(spec["lhs"])) + int(np.prod(spec["rhs"]))
                        + int(np.prod(spec["out"]))) * 2
         hbm_dt = bytes_moved / (bw * 1e9)
         bound = max(gemm_dt, hbm_dt)
         fl = conv_flops(spec)
         rows.append({
-            "conv": f"{kh}x{kw} {h}x{w} {cin}->{cout} s{spec['strides'][0]}",
+            "conv": f"{kh}x{kw} {h}x{w} {cin}->{cout} s{spec['strides'][0]}"
+                    + ("T" if spec["lhs_dilation"] != (1, 1) else ""),
             "count": count, "ms": dt * 1e3, "tflops": fl / dt / 1e12,
-            "gemm_ms": gemm_dt * 1e3, "hbm_ms": hbm_dt * 1e3,
+            "mxu_ms": gemm_dt * 1e3, "hbm_ms": hbm_dt * 1e3,
             "bound_ms": bound * 1e3, "ach_vs_bound": dt / bound,
         })
         total_ach += count * dt
         total_bound += count * bound
         r = rows[-1]
         print(f"{r['conv']:28s} x{count:2d} {r['ms']:7.3f} ms "
-              f"{r['tflops']:6.1f} TF | gemm {r['gemm_ms']:7.3f} "
+              f"{r['tflops']:6.1f} TF | mxu {r['mxu_ms']:7.3f} "
               f"hbm {r['hbm_ms']:7.3f} -> bound {r['bound_ms']:7.3f} ms "
               f"| ach/bound {r['ach_vs_bound']:.2f}", flush=True)
 
-    print(f"\nconv total {total_ach * 1e3:.1f} ms vs structural bound "
-          f"{total_bound * 1e3:.1f} ms (ratio {total_ach / total_bound:.2f})")
-    print(f"non-conv time in eval: {(full_dt - total_ach) * 1e3:.1f} ms "
-          "(attention, GN+mish, resamplers, elementwise)")
+    print(f"\nconv total (isolated) {total_ach * 1e3:.1f} ms vs structural "
+          f"bound {total_bound * 1e3:.1f} ms (ratio "
+          f"{total_ach / total_bound:.2f})")
+    print(f"full eval {full_dt * 1e3:.1f} ms vs conv bound "
+          f"{total_bound * 1e3:.1f} ms — isolated per-op times exceed the "
+          "in-graph cost (no elementwise fusion, per-op dispatch), so the "
+          "honest comparison is full-eval vs sum-of-bounds")
 
     if args.json:
         with open(args.json, "w") as f:

@@ -1,0 +1,110 @@
+"""Fused ConvResBlock kernel (ops/pallas/convres.py) vs the pure-JAX
+reference, interpreter mode on CPU: forward equivalence (f32 + bf16,
+multiple shapes/tiles), full gradient equivalence, and the halo/edge
+masking (top and bottom image rows are the regression surface)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from dddpm_tpu.ops.pallas.convres import (
+    _reference_impl,
+    fused_convres_block,
+)
+
+
+def _make(key, cio=16, cm=8, b=2, h=32, w=16, dtype=jnp.float32):
+    ks = jax.random.split(key, 9)
+    x = jax.random.normal(ks[0], (b, h, w, cio), dtype)
+    w1 = jax.random.normal(ks[1], (1, 1, cio, cm)) * (1 / np.sqrt(cio))
+    b1 = jax.random.normal(ks[2], (cm,)) * 0.1
+    w2 = jax.random.normal(ks[3], (3, 3, cm, cm)) * (1 / np.sqrt(9 * cm))
+    b2 = jax.random.normal(ks[4], (cm,)) * 0.1
+    w3 = jax.random.normal(ks[5], (3, 3, cm, cm)) * (1 / np.sqrt(9 * cm))
+    b3 = jax.random.normal(ks[6], (cm,)) * 0.1
+    w4 = jax.random.normal(ks[7], (1, 1, cm, cio)) * (1 / np.sqrt(cm))
+    b4 = jax.random.normal(ks[8], (cio,)) * 0.1
+    return x, w1, b1, w2, b2, w3, b3, w4, b4
+
+
+@pytest.mark.parametrize("h,w", [(32, 16), (16, 16), (48, 8)])
+def test_fused_convres_forward_matches_reference(h, w):
+    args = _make(jax.random.PRNGKey(0), h=h, w=w)
+    want = _reference_impl(*args, residual=True)
+    got = fused_convres_block(*args, residual=True, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_fused_convres_forward_no_residual():
+    args = _make(jax.random.PRNGKey(1))
+    want = _reference_impl(*args, residual=False)
+    got = fused_convres_block(*args, residual=False, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_fused_convres_forward_bf16():
+    args = _make(jax.random.PRNGKey(2), dtype=jnp.bfloat16)
+    want = np.asarray(_reference_impl(*args, residual=True), np.float32)
+    got = np.asarray(
+        fused_convres_block(*args, residual=True, interpret=True),
+        np.float32)
+    np.testing.assert_allclose(got, want, rtol=3e-2, atol=3e-2)
+
+
+def test_fused_convres_edge_rows_exact():
+    """Top/bottom image rows exercise the halo masks: with a large bias
+    (mish(b) far from 0) any mask slip shows up at rows 0-1 and H-2..H-1."""
+    args = list(_make(jax.random.PRNGKey(3), h=16, w=8))
+    args[2] = args[2] + 2.0   # b1 large
+    args[4] = args[4] + 2.0   # b2 large
+    want = _reference_impl(*args, residual=True)
+    got = fused_convres_block(*args, residual=True, interpret=True)
+    np.testing.assert_allclose(np.asarray(got)[:, :2], np.asarray(want)[:, :2],
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(got)[:, -2:],
+                               np.asarray(want)[:, -2:],
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_fused_convres_gradients_match_reference():
+    args = _make(jax.random.PRNGKey(4), h=32, w=16)
+
+    def loss_fused(*a):
+        return jnp.sum(fused_convres_block(*a, residual=True,
+                                           interpret=True) ** 2)
+
+    def loss_ref(*a):
+        return jnp.sum(_reference_impl(*a, residual=True) ** 2)
+
+    g_fused = jax.grad(loss_fused, argnums=tuple(range(9)))(*args)
+    g_ref = jax.grad(loss_ref, argnums=tuple(range(9)))(*args)
+    names = ["dx", "dw1", "db1", "dw2", "db2", "dw3", "db3", "dw4", "db4"]
+    for n, a, b in zip(names, g_fused, g_ref):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4,
+            err_msg=f"gradient mismatch: {n}")
+
+
+def test_fused_convres_gradients_no_residual_and_edges():
+    """Gradients with large biases (edge-mask coverage in the backward)."""
+    args = list(_make(jax.random.PRNGKey(5), h=16, w=8))
+    args[2] = args[2] + 1.5
+    args[4] = args[4] - 1.5
+
+    def loss_fused(*a):
+        return jnp.sum(fused_convres_block(*a, residual=False,
+                                           interpret=True) ** 2)
+
+    def loss_ref(*a):
+        return jnp.sum(_reference_impl(*a, residual=False) ** 2)
+
+    g_fused = jax.grad(loss_fused, argnums=tuple(range(9)))(*args)
+    g_ref = jax.grad(loss_ref, argnums=tuple(range(9)))(*args)
+    for i, (a, b) in enumerate(zip(g_fused, g_ref)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4,
+            err_msg=f"gradient arg {i}")
