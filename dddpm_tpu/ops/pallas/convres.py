@@ -1,33 +1,41 @@
 """Fully fused ConvResBlock bottleneck: mish -> 1x1 -> mish -> 3x3 ->
 mish -> 3x3 -> mish -> 1x1 (+ residual), forward AND backward as Pallas
-kernels.
+kernels, in a lane-packed layout.
 
-Why: the dDDPM x3 256^2 train step is ~94% resampler ConvResBlocks
-(reference models/downsampled/convblocks.py:92-130), and a single plain
-block at 256^2 c64 bs32 measures 26.7 ms under grad on a v5e chip while
-its bare-GEMM equivalent is ~6 ms (scripts/probe_resampler.py).  Two
-structural causes the XLA path cannot fix:
+Why: the dDDPM x3 256^2 train step is dominated by resampler
+ConvResBlocks (reference models/downsampled/convblocks.py:92-130), and
+their C=32/64 channels fill only 32/128 MXU lanes in the natural NHWC
+im2col GEMM — XLA's conv path runs at ~5 TF effective on a v5e chip
+(scripts/probe_resampler.py) because every GEMM pads N=32->128 and
+every vector op wastes 3/4 of the VPU lanes.
 
-- the 3x3 convs are C=32 -> 32: as XLA schedules them the MXU sees
-  K=N=32 (~6% utilization).  Here each 3x3 is an im2col GEMM with
-  K = 9*32 = 288 built INSIDE VMEM (the im2col tensor never exists in
-  HBM), lifting MXU depth utilization ~3x;
-- XLA round-trips every intermediate (4 convs + 4 mish) through HBM:
-  ~1.4 GB per block forward at bs 32.  Here the forward reads x once
-  and writes y once (~0.5 GB), and the backward reads x + dy and writes
-  dx, recomputing the forward intermediates in VMEM flash-style instead
-  of storing them.
+The fix is a layout, not a schedule: view NHWC (H, W, C) as
+(H, W/4, 4C).  This is a FREE contiguous reshape (the last two dims
+merge in memory order), and it makes the lane dim 4C = 128/256 exactly:
 
-Grid: (B, H/TILE_H), sequential on TPU.  Row tiles carry a halo (2 rows
-forward, 4 backward) DMA'd from a row-padded copy of the input; weight
-gradients accumulate across grid steps directly in their f32 output
-blocks (constant index_map -> the block stays resident in VMEM for the
-whole kernel), initialized at the first step.
+- every elementwise op (mish, masks, casts) runs at full VPU width;
+- the 1x1 convs become block-diagonal GEMMs kron(I4, w) with K and N
+  both multiples of 128 — 2x fewer padded FLOPs than the NHWC form;
+- each 3x3 conv becomes NINE accumulating (M,128)x(128,128) GEMMs
+  whose left operands are *constant-row-offset slices* of the
+  flattened activation (out-of-block kx taps reach the previous/next
+  W-block, i.e. row offset +-1 in the (row*W/4 + wj) flattening), and
+  whose weights are host-built 128x128 blocks of a tap-packed W_eff.
+  No im2col tensor, no lane shifts, no Mosaic relayout assembly: the
+  W-shift structure folds entirely into W_eff's sparsity pattern.
 
-Out-of-image halo rows are masked where the math requires true zeros
-(conv SAME padding semantics: mish(0 @ W + b) != b-term, so masks are
-load-bearing; on the gradient side dy's zero padding makes g3 vanish
-automatically but g2 needs an explicit mask).
+Forward reads x once and writes y once; backward reads x + dy and
+writes dx, recomputing the forward intermediates in VMEM flash-style.
+Weight gradients accumulate across the sequential grid in resident
+f32 VMEM blocks (constant index_map) in the SAME packed W_eff shapes;
+the (ky, kx, ci, co) gradients are extracted outside the kernel by
+summing each logical weight's four packed replicas.
+
+Grid: (B, H/TILE_H), sequential on TPU.  Row tiles carry a 2-row
+(forward) / 4-row (backward) image-row halo, DMA'd from a row- and
+lane-padded copy of the input (manual HBM DMA slices must be
+128-lane aligned).  Out-of-image halo rows and out-of-row W-border
+taps are masked where conv SAME zero padding is semantic.
 
 Equivalence and gradient tests vs the pure-JAX reference:
 tests/test_convres_kernel.py (interpreter mode on CPU).
@@ -42,6 +50,8 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+PACK = 4  # W-positions folded into the lane dim
+
 
 def _mish(x):
     """Mish in f32 (matches ops.math.mish up to compute precision)."""
@@ -55,63 +65,152 @@ def _dmish(x):
     return t + x * s * (1.0 - t * t)
 
 
-def _row_mask(rows, start_global, h, width, ch, dtype):
-    """(rows, width, ch) mask: 1 where the global row index is inside
-    [0, h), 0 on out-of-image halo rows."""
-    gr = lax.broadcasted_iota(jnp.int32, (rows, width, ch), 0) + start_global
-    return jnp.where((gr >= 0) & (gr < h),
-                     jnp.ones((), dtype), jnp.zeros((), dtype))
+# ----------------------------------------------------- packed weights
 
 
-def _wpad(h):
-    """Zero-pad the width axis by 1 on each side (conv SAME in W)."""
-    r, w, c = h.shape
-    z = jnp.zeros((r, 1, c), h.dtype)
-    return jnp.concatenate([z, h, z], axis=1)
+def _pack_1x1(w):
+    """(ci, co) -> block-diagonal (PACK*ci, PACK*co) = kron(I4, w)."""
+    ci, co = w.shape
+    eye = jnp.eye(PACK, dtype=w.dtype)
+    return jnp.kron(eye, w)
 
 
-def _im2col3x3(h, im_ref):
-    """(R, W, C) -> ((R-2)*W, 9C) patch matrix, taps in (ky, kx, ci)
-    order — matching an HWIO kernel reshaped to (9C, Cout).
+def _tap_index(kx, wi):
+    """W-tap (kx, output lane-pos wi) -> (wjoff block offset, wi')."""
+    wpos = wi + kx - 1
+    return wpos // PACK, wpos % PACK
 
-    Built by STORING each tap slice into a VMEM scratch ref and reading
-    the assembled matrix back: a direct lane-dim jnp.concatenate of the
-    nine 32-lane slices is unimplemented in Mosaic when the pieces
-    carry different sublane offsets (row slices at +0/+1/+2); the
-    scratch round-trip normalizes the layout."""
-    r, w, c = h.shape
-    hp = _wpad(h)
-    m = (r - 2) * w
+
+def _pack_3x3(w):
+    """HWIO (3, 3, ci, co) -> W_eff (9*PACK*ci, PACK*co).
+
+    Row t*PACK*ci + wi'*ci + i, column wi*co + o holds w[ky, kx, i, o]
+    for the unique (wjoff, wi') = _tap_index(kx, wi), t = ky*3+wjoff+1.
+    Each logical weight appears PACK times (once per output lane-pos).
+    """
+    _, _, ci, co = w.shape
+    weff = jnp.zeros((9 * PACK * ci, PACK * co), w.dtype)
     for ky in range(3):
         for kx in range(3):
-            t = ky * 3 + kx
-            piece = hp[ky:ky + r - 2, kx:kx + w, :].reshape(m, c)
-            im_ref[0:m, t * c:(t + 1) * c] = piece
-    return im_ref[0:m, :]
+            for wi in range(PACK):
+                wjoff, wip = _tap_index(kx, wi)
+                t = ky * 3 + (wjoff + 1)
+                r0 = t * PACK * ci + wip * ci
+                c0 = wi * co
+                weff = weff.at[r0:r0 + ci, c0:c0 + co].set(w[ky, kx])
+    return weff
 
 
-def _conv3x3_rows(h, w2r, im_ref, bias=None):
-    """Valid-in-H, SAME-in-W 3x3 conv of (R, W, C) -> (R-2, W, Cout)
-    f32.  h rows must already be zero outside the image."""
-    r, w, c = h.shape
-    y = jnp.dot(_im2col3x3(h, im_ref), w2r,
-                preferred_element_type=jnp.float32)
-    y = y.reshape(r - 2, w, w2r.shape[-1])
-    return y if bias is None else y + bias
+def _unpack_dw_3x3(dweff, ci, co, dtype):
+    """Sum the PACK replicas of each logical 3x3 weight gradient."""
+    dw = jnp.zeros((3, 3, ci, co), jnp.float32)
+    for ky in range(3):
+        for kx in range(3):
+            acc = jnp.zeros((ci, co), jnp.float32)
+            for wi in range(PACK):
+                wjoff, wip = _tap_index(kx, wi)
+                t = ky * 3 + (wjoff + 1)
+                r0 = t * PACK * ci + wip * ci
+                c0 = wi * co
+                acc = acc + dweff[r0:r0 + ci, c0:c0 + co]
+            dw = dw.at[ky, kx].set(acc)
+    return dw.astype(dtype)
 
 
-def _flip_io(w):
-    """HWIO (3,3,ci,co) -> transposed-conv kernel (3,3,co,ci), spatially
-    flipped, as the (9*co, ci) im2col matrix."""
-    co = w.shape[-1]
-    return w[::-1, ::-1].transpose(0, 1, 3, 2).reshape(9 * co, w.shape[2])
+def _unpack_dw_1x1(dweff, ci, co, dtype):
+    """Sum the PACK diagonal blocks of a block-diag weight gradient."""
+    acc = jnp.zeros((ci, co), jnp.float32)
+    for wi in range(PACK):
+        acc = acc + dweff[wi * ci:(wi + 1) * ci, wi * co:(wi + 1) * co]
+    return acc.astype(dtype)
+
+
+def _unpack_db(dbeff, c, dtype):
+    return jnp.sum(dbeff.reshape(PACK, c), axis=0).astype(dtype)
+
+
+def _flip_hwio(w):
+    """HWIO kernel -> spatially flipped, ci<->co swapped (the dgrad
+    kernel): conv^T(g, w) == conv(g, flip(w))."""
+    return w[::-1, ::-1].transpose(0, 1, 3, 2)
+
+
+# ----------------------------------------------------- in-kernel math
+
+
+def _row_mask(rows, start_img_row, h, nb, dtype, width):
+    """(rows, width) mask over flat (img_row * nb + wj) rows: 1 where
+    the image row is inside [0, h).  Full lane width: Mosaic cannot
+    relayout (rows, 1) i1 vectors into packed-dtype broadcasts."""
+    gr = (lax.broadcasted_iota(jnp.int32, (rows, width), 0) // nb
+          + start_img_row)
+    # predicate+select in f32 (the iota's tiling), cast after: Mosaic
+    # cannot relayout i1 vectors into the packed bf16 tiling
+    m = jnp.where((gr >= 0) & (gr < h), 1.0, 0.0)
+    return m.astype(dtype)
+
+
+def _wj_masks(rows, nb, dtype, width):
+    """Border masks for the wjoff = -1 / +1 pieces: zero where the
+    neighbouring W-block falls outside the row."""
+    wj = lax.broadcasted_iota(jnp.int32, (rows, width), 0) % nb
+    return (jnp.where(wj > 0, 1.0, 0.0).astype(dtype),      # wjoff = -1
+            jnp.where(wj < nb - 1, 1.0, 0.0).astype(dtype))  # wjoff = +1
+
+
+def _conv_packed(mflat, weff_ref, nb, out_rows, start, masks, bias=None):
+    """One packed 3x3 conv: nine accumulating GEMMs over constant-
+    row-offset slices of `mflat` (a clean (rows, L) value).
+
+    mflat rows are (img_row * nb + wj); the output frame starts
+    `start` flat rows into the input frame (start = nb for the
+    standard valid-in-H conv whose first output row needs input rows
+    0..2).  masks = (mask_m1, mask_p1) from _wj_masks for out_rows.
+    """
+    mask_m1, mask_p1 = masks
+    lin = weff_ref.shape[0] // 9
+    mp = jnp.pad(mflat, ((1, 1), (0, 0)))
+    acc = None
+    for t in range(9):
+        ky, wjoff = t // 3, t % 3 - 1
+        off = (ky - 1) * nb + wjoff + start
+        piece = mp[1 + off:1 + off + out_rows]
+        if wjoff == -1:
+            piece = piece * mask_m1
+        elif wjoff == 1:
+            piece = piece * mask_p1
+        d = jnp.dot(piece, weff_ref[t * lin:(t + 1) * lin, :],
+                    preferred_element_type=jnp.float32)
+        acc = d if acc is None else acc + d
+    return acc if bias is None else acc + bias
+
+
+def _wgrad_packed(dweff_ref, mflat, gc, nb, cstart, masks_c):
+    """Accumulate the packed 3x3 weight gradient: for each tap t,
+    dWeff[t] += piece_t(mflat, central frame)^T @ gc."""
+    mask_m1, mask_p1 = masks_c
+    rows_c = gc.shape[0]
+    lin = dweff_ref.shape[0] // 9
+    cdims = (((0,), (0,)), ((), ()))
+    mp = jnp.pad(mflat, ((1, 1), (0, 0)))
+    for t in range(9):
+        ky, wjoff = t // 3, t % 3 - 1
+        off = (ky - 1) * nb + wjoff + cstart
+        piece = mp[1 + off:1 + off + rows_c]
+        if wjoff == -1:
+            piece = piece * mask_m1
+        elif wjoff == 1:
+            piece = piece * mask_p1
+        dweff_ref[t * lin:(t + 1) * lin, :] += lax.dot_general(
+            piece, gc, cdims, preferred_element_type=jnp.float32)
 
 
 # --------------------------------------------------------------- forward
 
 
 def _fwd_kernel(xp_ref, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
-                w4_ref, b4_ref, y_ref, xt, im, sem, *, th, h, residual):
+                w4_ref, b4_ref, y_ref, xt, sem, *, th, h, nb, ci4,
+                residual):
     b = pl.program_id(0)
     j = pl.program_id(1)
 
@@ -120,33 +219,43 @@ def _fwd_kernel(xp_ref, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
     dma.start()
     dma.wait()
 
-    x = xt[0]                                  # (th+4, W, cio), x dtype
-    rows1, w, cio = x.shape
-    cm = w1_ref.shape[-1]
-    dt = x.dtype
+    # (th+4, nb, lane-padded 4*cio) -> true packed width ci4
+    x4 = xt[0][:, :, :ci4]
+    rows1 = (th + 4) * nb
+    dt = x4.dtype
 
-    m0 = _mish(x.astype(jnp.float32)).astype(dt)
-    p1 = (jnp.dot(m0.reshape(rows1 * w, cio), w1_ref[:],
-                  preferred_element_type=jnp.float32)
-          + b1_ref[:]).reshape(rows1, w, cm)
-    m1 = _mish(p1).astype(dt)
+    m0 = _mish(x4.astype(jnp.float32)).astype(dt)
+    flat0 = m0.reshape(rows1, ci4)
+    p1 = (jnp.dot(flat0, w1_ref[:], preferred_element_type=jnp.float32)
+          + b1_ref[:])
     # conv SAME pads with TRUE zeros outside the image; halo rows that
     # fall outside must be zeroed (mish(b1) != 0 there otherwise)
-    m1 = m1 * _row_mask(rows1, j * th - 2, h, w, cm, dt)
+    cm4 = w1_ref.shape[-1]
+    m1 = (_mish(p1).astype(dt)
+          * _row_mask(rows1, j * th - 2, h, nb, dt, cm4))
 
-    p2 = _conv3x3_rows(m1, w2_ref[:], im, b2_ref[:])      # (th+2, W, cm)
-    m2 = _mish(p2).astype(dt)
-    m2 = m2 * _row_mask(th + 2, j * th - 1, h, w, cm, dt)
+    rows2 = (th + 2) * nb
+    masks2 = _wj_masks(rows2, nb, dt, cm4)
+    p2 = _conv_packed(m1, w2_ref, nb, rows2, nb, masks2, b2_ref[:])
+    m2 = (_mish(p2).astype(dt)
+          * _row_mask(rows2, j * th - 1, h, nb, dt, cm4))
 
-    p3 = _conv3x3_rows(m2, w3_ref[:], im, b3_ref[:])      # (th, W, cm)
+    rows3 = th * nb
+    masks3 = _wj_masks(rows3, nb, dt, cm4)
+    p3 = _conv_packed(m2, w3_ref, nb, rows3, nb, masks3, b3_ref[:])
     m3 = _mish(p3).astype(dt)
 
-    p4 = (jnp.dot(m3.reshape(th * w, cm), w4_ref[:],
-                  preferred_element_type=jnp.float32)
-          + b4_ref[:]).reshape(th, w, cio)
+    p4 = (jnp.dot(m3, w4_ref[:], preferred_element_type=jnp.float32)
+          + b4_ref[:])
     if residual:
-        p4 = p4 + x[2:th + 2].astype(jnp.float32)
-    y_ref[0] = p4.astype(y_ref.dtype)
+        p4 = p4 + flatc(x4, 2 * nb, rows3).astype(jnp.float32)
+    y_ref[0] = p4.reshape(th, nb, ci4).astype(y_ref.dtype)
+
+
+def flatc(x3, start, rows):
+    """Central flat-row slice of a (R, nb, L) packed value."""
+    r, nb, L = x3.shape
+    return x3.reshape(r * nb, L)[start:start + rows]
 
 
 def _fused_forward(x, w1, b1, w2, b2, w3, b3, w4, b4, residual,
@@ -154,10 +263,18 @@ def _fused_forward(x, w1, b1, w2, b2, w3, b3, w4, b4, residual,
     interpret = interpret or jax.default_backend() == "cpu"
     bsz, h, w, cio = x.shape
     cm = w1.shape[-1]
+    assert w % PACK == 0, (w, PACK)
+    nb = w // PACK
+    ci4, cm4 = PACK * cio, PACK * cm
     th = min(16, h)
     assert h % th == 0, (h, th)
 
-    xp = jnp.pad(x, ((0, 0), (2, 2), (0, 0), (0, 0)))
+    # free contiguous view NHWC -> (H, W/4, 4C); manual HBM DMA slices
+    # must be 128-lane aligned, so pad the packed lane dim if needed
+    # (the physical HBM layout is 128-lane padded either way)
+    cl = -(-ci4 // 128) * 128
+    xp = jnp.pad(x.reshape(bsz, h, nb, ci4),
+                 ((0, 0), (2, 2), (0, 0), (0, cl - ci4)))
     dt = x.dtype
 
     vec = lambda d: pl.BlockSpec((1, d), lambda b, j: (0, 0),
@@ -165,32 +282,35 @@ def _fused_forward(x, w1, b1, w2, b2, w3, b3, w4, b4, residual,
     mat = lambda r, c: pl.BlockSpec((r, c), lambda b, j: (0, 0),
                                     memory_space=pltpu.VMEM)
 
-    return pl.pallas_call(
-        partial(_fwd_kernel, th=th, h=h, residual=residual),
+    y = pl.pallas_call(
+        partial(_fwd_kernel, th=th, h=h, nb=nb, ci4=ci4,
+                residual=residual),
         grid=(bsz, h // th),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),   # xp, DMA'd manually
-            mat(cio, cm), vec(cm), mat(9 * cm, cm), vec(cm),
-            mat(9 * cm, cm), vec(cm), mat(cm, cio), vec(cio),
+            mat(ci4, cm4), vec(cm4), mat(9 * cm4, cm4), vec(cm4),
+            mat(9 * cm4, cm4), vec(cm4), mat(cm4, ci4), vec(ci4),
         ],
-        out_specs=pl.BlockSpec((1, th, w, cio), lambda b, j: (b, j, 0, 0),
+        out_specs=pl.BlockSpec((1, th, nb, ci4), lambda b, j: (b, j, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((bsz, h, w, cio), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((bsz, h, nb, ci4), x.dtype),
         scratch_shapes=[
-            pltpu.VMEM((1, th + 4, w, cio), x.dtype),
-            pltpu.VMEM(((th + 2) * w, 9 * cm), x.dtype),
+            pltpu.VMEM((1, th + 4, nb, cl), x.dtype),
             pltpu.SemaphoreType.DMA,
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(xp,
-      w1.reshape(cio, cm).astype(dt),
-      b1.reshape(1, cm).astype(jnp.float32),
-      w2.reshape(9 * cm, cm).astype(dt),
-      b2.reshape(1, cm).astype(jnp.float32),
-      w3.reshape(9 * cm, cm).astype(dt),
-      b3.reshape(1, cm).astype(jnp.float32),
-      w4.reshape(cm, cio).astype(dt),
-      b4.reshape(1, cio).astype(jnp.float32))
+      _pack_1x1(w1.reshape(cio, cm)).astype(dt),
+      jnp.tile(b1, PACK).reshape(1, cm4).astype(jnp.float32),
+      _pack_3x3(w2).astype(dt),
+      jnp.tile(b2, PACK).reshape(1, cm4).astype(jnp.float32),
+      _pack_3x3(w3).astype(dt),
+      jnp.tile(b3, PACK).reshape(1, cm4).astype(jnp.float32),
+      _pack_1x1(w4.reshape(cm, cio)).astype(dt),
+      jnp.tile(b4, PACK).reshape(1, ci4).astype(jnp.float32))
+    return y.reshape(bsz, h, w, cio)
 
 
 # -------------------------------------------------------------- backward
@@ -200,7 +320,7 @@ def _bwd_kernel(xp_ref, dyp_ref, w1_ref, b1_ref, w2_ref, b2_ref,
                 w3_ref, b3_ref, w1t_ref, w2f_ref, w3f_ref, w4t_ref,
                 dx_ref, dw1_ref, db1_ref, dw2_ref, db2_ref,
                 dw3_ref, db3_ref, dw4_ref, db4_ref,
-                xt, dyt, im, sem, *, th, h, residual):
+                xt, dyt, sem, *, th, h, nb, ci4, residual):
     b = pl.program_id(0)
     j = pl.program_id(1)
 
@@ -213,11 +333,9 @@ def _bwd_kernel(xp_ref, dyp_ref, w1_ref, b1_ref, w2_ref, b2_ref,
     dma_dy.start()
     dma_dy.wait()
 
-    x = xt[0]                                   # (th+8, W, cio)
-    dy = dyt[0].astype(jnp.float32)             # (th+4, W, cio)
-    rows0, w, cio = x.shape
-    cm = w1_ref.shape[-1]
-    dt = x.dtype
+    x4 = xt[0][:, :, :ci4]                      # (th+8, nb, ci4)
+    dy4 = dyt[0][:, :, :ci4]                    # (th+4, nb, ci4)
+    dt = x4.dtype
 
     @pl.when((b == 0) & (j == 0))
     def _():
@@ -225,62 +343,72 @@ def _bwd_kernel(xp_ref, dyp_ref, w1_ref, b1_ref, w2_ref, b2_ref,
                     dw3_ref, db3_ref, dw4_ref, db4_ref):
             ref[:] = jnp.zeros_like(ref)
 
-    # ---- forward recompute, flash-style (rows shrink 2 per 3x3)
-    xf = x.astype(jnp.float32)
-    m0 = _mish(xf).astype(dt)                                  # th+8
-    p1 = (jnp.dot(m0.reshape(rows0 * w, cio), w1_ref[:],
-                  preferred_element_type=jnp.float32)
-          + b1_ref[:]).reshape(rows0, w, cm)
+    # ---- forward recompute, flash-style (rows shrink nb per 3x3)
+    rows0 = (th + 8) * nb
+    xf = x4.astype(jnp.float32).reshape(rows0, ci4)
+    m0 = _mish(xf).astype(dt)
+    p1 = (jnp.dot(m0, w1_ref[:], preferred_element_type=jnp.float32)
+          + b1_ref[:])
+    cm4 = w1_ref.shape[-1]
     m1 = (_mish(p1).astype(dt)
-          * _row_mask(rows0, j * th - 4, h, w, cm, dt))
-    p2 = _conv3x3_rows(m1, w2_ref[:], im, b2_ref[:])               # th+6
+          * _row_mask(rows0, j * th - 4, h, nb, dt, cm4))
+
+    rows_p2 = (th + 6) * nb
+    masks_p2 = _wj_masks(rows_p2, nb, dt, cm4)
+    p2 = _conv_packed(m1, w2_ref, nb, rows_p2, nb, masks_p2, b2_ref[:])
     m2 = (_mish(p2).astype(dt)
-          * _row_mask(th + 6, j * th - 3, h, w, cm, dt))
-    p3 = _conv3x3_rows(m2, w3_ref[:], im, b3_ref[:])               # th+4
-    m3 = _mish(p3).astype(dt)                                  # th+4
+          * _row_mask(rows_p2, j * th - 3, h, nb, dt, cm4))
+
+    rows_p3 = (th + 4) * nb
+    masks_p3 = _wj_masks(rows_p3, nb, dt, cm4)
+    p3 = _conv_packed(m2, w3_ref, nb, rows_p3, nb, masks_p3, b3_ref[:])
+    m3 = _mish(p3).astype(dt)
 
     # ---- gradient chain (dy's zero halo rows make g3 vanish outside
     # the image; g2 gets an explicit mask)
-    g4 = dy                                                    # th+4
-    u3 = jnp.dot(g4.reshape((th + 4) * w, cio).astype(dt), w4t_ref[:],
-                 preferred_element_type=jnp.float32
-                 ).reshape(th + 4, w, cm)
-    g3 = (u3 * _dmish(p3)).astype(dt)                          # th+4
-    u2 = _conv3x3_rows(g3, w3f_ref[:], im)                     # th+2
-    g2 = (u2 * _dmish(p2[2:th + 4])).astype(dt)
-    g2 = g2 * _row_mask(th + 2, j * th - 1, h, w, cm, dt)
-    u1 = _conv3x3_rows(g2, w2f_ref[:], im)                     # th
-    g1 = (u1 * _dmish(p1[4:th + 4])).astype(dt)
-    u0 = jnp.dot(g1.reshape(th * w, cm), w1t_ref[:],
-                 preferred_element_type=jnp.float32
-                 ).reshape(th, w, cio)
-    dx = u0 * _dmish(xf[4:th + 4])
+    g4 = dy4.astype(jnp.float32).reshape(rows_p3, ci4)
+    u3 = jnp.dot(g4.astype(dt), w4t_ref[:],
+                 preferred_element_type=jnp.float32)
+    g3 = (u3 * _dmish(p3)).astype(dt)           # (th+4)*nb
+
+    rows_g2 = (th + 2) * nb
+    masks_g2 = _wj_masks(rows_g2, nb, dt, cm4)
+    u2 = _conv_packed(g3, w3f_ref, nb, rows_g2, nb, masks_g2)
+    g2 = (u2 * _dmish(p2[2 * nb:(th + 4) * nb])).astype(dt)
+    g2 = g2 * _row_mask(rows_g2, j * th - 1, h, nb, dt, cm4)
+
+    rows_g1 = th * nb
+    masks_g1 = _wj_masks(rows_g1, nb, dt, cm4)
+    u1 = _conv_packed(g2, w2f_ref, nb, rows_g1, nb, masks_g1)
+    g1 = (u1 * _dmish(p1[4 * nb:(th + 4) * nb])).astype(dt)
+    u0 = jnp.dot(g1, w1t_ref[:], preferred_element_type=jnp.float32)
+    dx = u0 * _dmish(xf[4 * nb:(th + 4) * nb])
     if residual:
-        dx = dx + dy[2:th + 2]
-    dx_ref[0] = dx.astype(dx_ref.dtype)
+        dx = dx + g4[2 * nb:(th + 2) * nb]
+    dx_ref[0] = dx.reshape(th, nb, ci4).astype(dx_ref.dtype)
 
     # ---- parameter gradients over the tile's central rows only
     cdims = (((0,), (0,)), ((), ()))
-    g4c = g4[2:th + 2].reshape(th * w, cio).astype(dt)
-    m3c = m3[2:th + 2].reshape(th * w, cm)
+    g4c = g4[2 * nb:(th + 2) * nb].astype(dt)
+    m3c = m3[2 * nb:(th + 2) * nb]
     dw4_ref[:] += lax.dot_general(m3c, g4c, cdims,
                                   preferred_element_type=jnp.float32)
     db4_ref[:] += jnp.sum(g4c.astype(jnp.float32), axis=0, keepdims=True)
 
-    g3c = g3[2:th + 2].reshape(th * w, cm)
-    im3 = _im2col3x3(m2[2:th + 4], im)                 # patches for rows T
-    dw3_ref[:] += lax.dot_general(im3, g3c, cdims,
-                                  preferred_element_type=jnp.float32)
+    g3c = g3[2 * nb:(th + 2) * nb]
+    masks_c = _wj_masks(rows_g1, nb, dt, cm4)
+    # m2's frame starts 1 image row (nb flat rows) before g3's frame;
+    # g3c sits 2 rows into g3's frame -> central start = 3*nb rel. m2
+    _wgrad_packed(dw3_ref, m2, g3c, nb, 3 * nb, masks_c)
     db3_ref[:] += jnp.sum(g3c.astype(jnp.float32), axis=0, keepdims=True)
 
-    g2c = g2[1:th + 1].reshape(th * w, cm)
-    im2 = _im2col3x3(m1[3:th + 5], im)
-    dw2_ref[:] += lax.dot_general(im2, g2c, cdims,
-                                  preferred_element_type=jnp.float32)
+    g2c = g2[nb:(th + 1) * nb]
+    # m1's frame starts 4 image rows before the central rows
+    _wgrad_packed(dw2_ref, m1, g2c, nb, 4 * nb, masks_c)
     db2_ref[:] += jnp.sum(g2c.astype(jnp.float32), axis=0, keepdims=True)
 
-    g1c = g1.reshape(th * w, cm)
-    m0c = m0[4:th + 4].reshape(th * w, cio)
+    g1c = g1
+    m0c = m0[4 * nb:(th + 4) * nb]
     dw1_ref[:] += lax.dot_general(m0c, g1c, cdims,
                                   preferred_element_type=jnp.float32)
     db1_ref[:] += jnp.sum(g1c.astype(jnp.float32), axis=0, keepdims=True)
@@ -291,76 +419,86 @@ def _fused_backward(x, w1, b1, w2, b2, w3, b3, w4, b4, dy, residual,
     interpret = interpret or jax.default_backend() == "cpu"
     bsz, h, w, cio = x.shape
     cm = w1.shape[-1]
+    assert w % PACK == 0, (w, PACK)
+    nb = w // PACK
+    ci4, cm4 = PACK * cio, PACK * cm
     th = min(16, h)
 
-    xp = jnp.pad(x, ((0, 0), (4, 4), (0, 0), (0, 0)))
-    dyp = jnp.pad(dy.astype(x.dtype), ((0, 0), (2, 2), (0, 0), (0, 0)))
+    cl = -(-ci4 // 128) * 128
+    xp = jnp.pad(x.reshape(bsz, h, nb, ci4),
+                 ((0, 0), (4, 4), (0, 0), (0, cl - ci4)))
+    dyp = jnp.pad(dy.astype(x.dtype).reshape(bsz, h, nb, ci4),
+                  ((0, 0), (2, 2), (0, 0), (0, cl - ci4)))
     dt = x.dtype
 
     vec = lambda d: pl.BlockSpec((1, d), lambda b, j: (0, 0),
                                  memory_space=pltpu.VMEM)
     mat = lambda r, c: pl.BlockSpec((r, c), lambda b, j: (0, 0),
                                     memory_space=pltpu.VMEM)
-    acc = lambda r, c: pl.BlockSpec((r, c), lambda b, j: (0, 0),
-                                    memory_space=pltpu.VMEM)
 
-    w2r = w2.reshape(9 * cm, cm).astype(dt)
-    w3r = w3.reshape(9 * cm, cm).astype(dt)
+    w1p = _pack_1x1(w1.reshape(cio, cm))
+    w4p = _pack_1x1(w4.reshape(cm, cio))
 
     outs = pl.pallas_call(
-        partial(_bwd_kernel, th=th, h=h, residual=residual),
+        partial(_bwd_kernel, th=th, h=h, nb=nb, ci4=ci4,
+                residual=residual),
         grid=(bsz, h // th),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),   # xp
             pl.BlockSpec(memory_space=pl.ANY),   # dyp
-            mat(cio, cm), vec(cm), mat(9 * cm, cm), vec(cm),
-            mat(9 * cm, cm), vec(cm),
-            mat(cm, cio), mat(9 * cm, cm), mat(9 * cm, cm), mat(cio, cm),
+            mat(ci4, cm4), vec(cm4), mat(9 * cm4, cm4), vec(cm4),
+            mat(9 * cm4, cm4), vec(cm4),
+            mat(cm4, ci4), mat(9 * cm4, cm4), mat(9 * cm4, cm4),
+            mat(ci4, cm4),
         ],
         out_specs=[
-            pl.BlockSpec((1, th, w, cio), lambda b, j: (b, j, 0, 0),
+            pl.BlockSpec((1, th, nb, ci4), lambda b, j: (b, j, 0, 0),
                          memory_space=pltpu.VMEM),
-            acc(cio, cm), acc(1, cm), acc(9 * cm, cm), acc(1, cm),
-            acc(9 * cm, cm), acc(1, cm), acc(cm, cio), acc(1, cio),
+            mat(ci4, cm4), vec(cm4), mat(9 * cm4, cm4), vec(cm4),
+            mat(9 * cm4, cm4), vec(cm4), mat(cm4, ci4), vec(ci4),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((bsz, h, w, cio), x.dtype),
-            jax.ShapeDtypeStruct((cio, cm), jnp.float32),
-            jax.ShapeDtypeStruct((1, cm), jnp.float32),
-            jax.ShapeDtypeStruct((9 * cm, cm), jnp.float32),
-            jax.ShapeDtypeStruct((1, cm), jnp.float32),
-            jax.ShapeDtypeStruct((9 * cm, cm), jnp.float32),
-            jax.ShapeDtypeStruct((1, cm), jnp.float32),
-            jax.ShapeDtypeStruct((cm, cio), jnp.float32),
-            jax.ShapeDtypeStruct((1, cio), jnp.float32),
+            jax.ShapeDtypeStruct((bsz, h, nb, ci4), x.dtype),
+            jax.ShapeDtypeStruct((ci4, cm4), jnp.float32),
+            jax.ShapeDtypeStruct((1, cm4), jnp.float32),
+            jax.ShapeDtypeStruct((9 * cm4, cm4), jnp.float32),
+            jax.ShapeDtypeStruct((1, cm4), jnp.float32),
+            jax.ShapeDtypeStruct((9 * cm4, cm4), jnp.float32),
+            jax.ShapeDtypeStruct((1, cm4), jnp.float32),
+            jax.ShapeDtypeStruct((cm4, ci4), jnp.float32),
+            jax.ShapeDtypeStruct((1, ci4), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((1, th + 8, w, cio), x.dtype),
-            pltpu.VMEM((1, th + 4, w, cio), x.dtype),
-            pltpu.VMEM(((th + 6) * w, 9 * cm), x.dtype),
+            pltpu.VMEM((1, th + 8, nb, cl), x.dtype),
+            pltpu.VMEM((1, th + 4, nb, cl), x.dtype),
             pltpu.SemaphoreType.DMA,
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(xp, dyp,
-      w1.reshape(cio, cm).astype(dt),
-      b1.reshape(1, cm).astype(jnp.float32),
-      w2r, b2.reshape(1, cm).astype(jnp.float32),
-      w3r, b3.reshape(1, cm).astype(jnp.float32),
-      jnp.transpose(w1.reshape(cio, cm)).astype(dt),
-      _flip_io(w2).astype(dt),
-      _flip_io(w3).astype(dt),
-      jnp.transpose(w4.reshape(cm, cio)).astype(dt))
+      w1p.astype(dt),
+      jnp.tile(b1, PACK).reshape(1, cm4).astype(jnp.float32),
+      _pack_3x3(w2).astype(dt),
+      jnp.tile(b2, PACK).reshape(1, cm4).astype(jnp.float32),
+      _pack_3x3(w3).astype(dt),
+      jnp.tile(b3, PACK).reshape(1, cm4).astype(jnp.float32),
+      jnp.transpose(w1p).astype(dt),
+      _pack_3x3(_flip_hwio(w2)).astype(dt),
+      _pack_3x3(_flip_hwio(w3)).astype(dt),
+      jnp.transpose(w4p).astype(dt))
 
-    dx, dw1, db1, dw2, db2, dw3, db3, dw4, db4 = outs
-    return (dx,
-            dw1.reshape(w1.shape).astype(w1.dtype),
-            db1.reshape(b1.shape).astype(b1.dtype),
-            dw2.reshape(w2.shape).astype(w2.dtype),
-            db2.reshape(b2.shape).astype(b2.dtype),
-            dw3.reshape(w3.shape).astype(w3.dtype),
-            db3.reshape(b3.shape).astype(b3.dtype),
-            dw4.reshape(w4.shape).astype(w4.dtype),
-            db4.reshape(b4.shape).astype(b4.dtype))
+    (dxp, dw1e, db1e, dw2e, db2e, dw3e, db3e, dw4e, db4e) = outs
+    cm_ = cm
+    return (dxp.reshape(bsz, h, w, cio),
+            _unpack_dw_1x1(dw1e, cio, cm_, w1.dtype).reshape(w1.shape),
+            _unpack_db(db1e, cm_, b1.dtype),
+            _unpack_dw_3x3(dw2e, cm_, cm_, w2.dtype),
+            _unpack_db(db2e, cm_, b2.dtype),
+            _unpack_dw_3x3(dw3e, cm_, cm_, w3.dtype),
+            _unpack_db(db3e, cm_, b3.dtype),
+            _unpack_dw_1x1(dw4e, cm_, cio, w4.dtype).reshape(w4.shape),
+            _unpack_db(db4e, cio, b4.dtype))
 
 
 # ------------------------------------------------------------ public op
@@ -393,11 +531,13 @@ def _reference_impl(x, w1, b1, w2, b2, w3, b3, w4, b4, residual):
 @partial(jax.custom_vjp, nondiff_argnums=(9, 10))
 def fused_convres_block(x, w1, b1, w2, b2, w3, b3, w4, b4,
                         residual: bool = True, interpret: bool = False):
-    """Fused ConvResBlock conv core.
+    """Fused ConvResBlock conv core (lane-packed Pallas kernels).
 
     x: (B, H, W, cio); w1: (1,1,cio,cm); w2, w3: (3,3,cm,cm);
     w4: (1,1,cm,cio); biases 1-D.  Returns mish-conv bottleneck output
     (+ x when residual).  Up/down scaling and dropout stay outside.
+    Requires W % 4 == 0; on real TPUs the packed lane widths 4*cio and
+    4*cm should be multiples of 128 for full efficiency.
     """
     return _fused_forward(x, w1, b1, w2, b2, w3, b3, w4, b4,
                           residual, interpret)
