@@ -65,6 +65,11 @@ CONFIG_TPU: Dict = {
     "mesh_shape": None,           # None -> all local devices on one 'data' axis
     "seed": 0,
     "use_pallas_attention": "auto",  # auto | True | False (pinned by build_model)
+    # Fused resampler ConvResBlock Pallas kernel (ops/pallas/convres.py).
+    # Default OFF: it beats XLA per-block in isolation (25% on the 256^2
+    # grad) but LOSES at the whole-resampler level — XLA's cross-block
+    # fusion outweighs the lane-packing win (measured v5e, STATUS.md r3).
+    "use_pallas_resample": False,
     "remat": False,               # rematerialize UNet ResnetBlocks under grad
     "fsdp": False,                # shard params/EMA/opt-state over the data axis
     "prefetch": 2,                # host batch-prep prefetch depth (0 = off)

@@ -14,6 +14,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from dddpm_tpu.ops.math import mish
+from dddpm_tpu.ops.pallas.convres import fused_convres_block
 from dddpm_tpu.models.init import (
     bias_init_for,
     conv_kernel_init,
@@ -97,6 +98,12 @@ class SimpleUpConv(nn.Module):
         return x
 
 
+# Fused-kernel spatial gate: below this many pixels the per-call halo
+# DMA + weight-packing overheads beat the MXU win (measured, v5e —
+# see ConvResBlock._fused_eligible).  Module-level so tests can lower it.
+FUSED_MIN_PIXELS = 128 * 128
+
+
 class ConvResBlock(nn.Module):
     """Pre-activation 1x1 -> 3x3 -> 3x3 -> 1x1 bottleneck with optional
     residual and 2x up/down scaling (nearest-interp / avg-pool)."""
@@ -108,15 +115,52 @@ class ConvResBlock(nn.Module):
     downsample: bool = False
     dropout: float = 0.0
     residual: bool = False
+    use_pallas: bool = False
     dtype: jnp.dtype = jnp.float32
+
+    def _fused_shape_ok(self, hh: int, ww: int) -> bool:
+        """The lane-packed fused kernel covers the square-channel conv
+        core at shapes whose packed lane widths tile the 128-lane MXU.
+        Measured (scripts/probe_convres_kernel.py, v5e, bs 32, C 64/32):
+        it beats XLA at 256^2 (grad -25%) and 128^2 (grad -13%), ties at
+        64^2 and loses at 32^2 — so it is gated to >= 128^2 maps where
+        the per-call halo DMA and packing overheads amortize."""
+        return (self.in_channels == self.out_channels
+                and (4 * self.in_channels) % 128 == 0
+                and (4 * self.dim) % 128 == 0
+                and ww % 4 == 0
+                and hh % min(16, hh) == 0
+                and hh * ww >= FUSED_MIN_PIXELS)
+
+    def _fused_eligible(self, x) -> bool:
+        _, hh, ww, _ = x.shape
+        return (self.use_pallas
+                and not self.is_initializing()
+                and self._fused_shape_ok(hh, ww))
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         assert not (self.upsample and self.downsample)
-        h = _conv(self.dim, self.in_channels, 1, dtype=self.dtype)(mish(x))
-        h = _conv(self.dim, self.dim, 3, dtype=self.dtype)(mish(h))
-        h = _conv(self.dim, self.dim, 3, dtype=self.dtype)(mish(h))
-        h = _conv(self.out_channels, self.dim, 1, dtype=self.dtype)(mish(h))
+        if self._fused_eligible(x):
+            # single fused Pallas kernel over the whole mish-conv
+            # bottleneck (ops/pallas/convres.py); params were created
+            # by the reference path at init, so names/shapes match
+            p = self.variables["params"]
+            h = fused_convres_block(
+                x,
+                p["Conv_0"]["kernel"], p["Conv_0"]["bias"],
+                p["Conv_1"]["kernel"], p["Conv_1"]["bias"],
+                p["Conv_2"]["kernel"], p["Conv_2"]["bias"],
+                p["Conv_3"]["kernel"], p["Conv_3"]["bias"],
+                False,
+            )
+        else:
+            h = _conv(self.dim, self.in_channels, 1,
+                      dtype=self.dtype)(mish(x))
+            h = _conv(self.dim, self.dim, 3, dtype=self.dtype)(mish(h))
+            h = _conv(self.dim, self.dim, 3, dtype=self.dtype)(mish(h))
+            h = _conv(self.out_channels, self.dim, 1,
+                      dtype=self.dtype)(mish(h))
         # Dropout2d: drop whole channel maps (broadcast over H, W)
         h = nn.Dropout(rate=self.dropout, broadcast_dims=(1, 2))(
             h, deterministic=deterministic
@@ -154,6 +198,7 @@ class ConvResNet(nn.Module):
     upsample: bool = False
     dropout: float = 0.0
     n_blocks: int = 1
+    use_pallas: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -164,12 +209,14 @@ class ConvResNet(nn.Module):
             x = ConvResBlock(
                 self.dim // 2, self.dim, self.dim,
                 upsample=self.upsample, downsample=down,
-                dropout=self.dropout, residual=True, dtype=self.dtype,
+                dropout=self.dropout, residual=True,
+                use_pallas=self.use_pallas, dtype=self.dtype,
             )(x, deterministic)
             for _ in range(self.n_blocks - 1):
                 x = ConvResBlock(
                     self.dim // 2, self.dim, self.dim,
-                    dropout=self.dropout, residual=True, dtype=self.dtype,
+                    dropout=self.dropout, residual=True,
+                    use_pallas=self.use_pallas, dtype=self.dtype,
                 )(x, deterministic)
         return _conv(self.out_channels, self.dim, 1, dtype=self.dtype)(x)
 
@@ -192,7 +239,9 @@ def get_downsampling(config: dict, x_shape: Tuple[int, int, int],
         return ConvResNet(
             config["d_chans"], c, config["unet_in"], n_down,
             upsample=False, dropout=config["d_dropout"],
-            n_blocks=config["d_n_blocks"], dtype=dtype,
+            n_blocks=config["d_n_blocks"],
+            use_pallas=bool(config.get("use_pallas_resample", False)),
+            dtype=dtype,
         )
     raise NotImplementedError(f'Downsampling method for "{mode}" not implemented!')
 
@@ -212,6 +261,8 @@ def get_upsampling(config: dict, x_shape: Tuple[int, int, int],
         return ConvResNet(
             config["d_chans"], config["unet_in"], c, n_down,
             upsample=True, dropout=config["d_dropout"],
-            n_blocks=config["u_n_blocks"], dtype=dtype,
+            n_blocks=config["u_n_blocks"],
+            use_pallas=bool(config.get("use_pallas_resample", False)),
+            dtype=dtype,
         )
     raise NotImplementedError(f'Upsampling method for "{mode}" not implemented!')

@@ -108,3 +108,59 @@ def test_fused_convres_gradients_no_residual_and_edges():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4,
             err_msg=f"gradient arg {i}")
+
+
+def test_convresblock_pallas_wiring_matches_reference(monkeypatch):
+    """ConvResBlock(use_pallas=True) routes through fused_convres_block
+    with the SAME flax params as the reference conv path (interpret
+    mode on CPU; the spatial gate is lowered so a small map is
+    eligible)."""
+    from dddpm_tpu.models import resample
+
+    monkeypatch.setattr(resample, "FUSED_MIN_PIXELS", 0)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 32, 32, 32))
+    kw = dict(dim=32, in_channels=32, out_channels=32, residual=True)
+    m_ref = resample.ConvResBlock(use_pallas=False, **kw)
+    m_pal = resample.ConvResBlock(use_pallas=True, **kw)
+    params = m_ref.init(jax.random.PRNGKey(1), x)
+    want = m_ref.apply(params, x)
+    got = m_pal.apply(params, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+    # gradients flow through the custom VJP to the same param tree
+    def loss(p, m):
+        return jnp.sum(m.apply(p, x) ** 2)
+
+    g_ref = jax.grad(loss)(params, m_ref)
+    g_pal = jax.grad(loss)(params, m_pal)
+
+    def check(path, a, b):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-4, atol=2e-4,
+                                   err_msg=f"grad mismatch at {path}")
+
+    jax.tree_util.tree_map_with_path(check, g_ref, g_pal)
+
+
+def test_convresblock_gate_respects_shape_constraints():
+    """The fused gate must reject shapes the kernel cannot tile."""
+    from dddpm_tpu.models.resample import ConvResBlock
+
+    def gate(shape, **kw):
+        kw.setdefault("dim", 32)
+        kw.setdefault("in_channels", 32)
+        kw.setdefault("out_channels", 32)
+        m = ConvResBlock(use_pallas=True, **kw)
+        _, hh, ww, _ = shape
+        return m._fused_shape_ok(hh, ww)
+
+    assert gate((1, 128, 128, 32))
+    assert gate((1, 256, 256, 64), dim=32, in_channels=64, out_channels=64)
+    assert not gate((1, 64, 64, 32))            # below the spatial gate
+    assert not gate((1, 128, 126, 32))          # W % 4 != 0
+    assert not gate((1, 129, 128, 32))          # H not tileable by 16
+    assert not gate((1, 128, 128, 32), in_channels=32, out_channels=64,
+                    dim=32)                     # cio != cout
+    assert not gate((1, 128, 128, 24), in_channels=24, out_channels=24,
+                    dim=32)                     # 4*cio not lane-aligned
