@@ -28,12 +28,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
-# CPU-parity harness (torch side is CPU-only); force jax onto CPU too.
+# CPU-parity harness by default (torch side is CPU-only): jax is
+# forced onto CPU in main() unless --jax-platform default is passed,
+# in which case the jax curves run on the real backend (TPU) with f32
+# HIGHEST-precision matmuls/convs — platform float noise (~1e-6 rel)
+# is negligible against the >=1% curve effects under study, and the
+# TPU makes 1000-step curves tractable on this one-core host.
 # The image's sitecustomize latches the axon TPU platform before env
-# vars are read, so JAX_PLATFORMS=cpu alone is not enough.
+# vars are read, so JAX_PLATFORMS=cpu alone would not work anyway.
 import jax  # noqa: E402
-
-jax.config.update("jax_platforms", "cpu")
 
 REF = "/root/reference"
 LR = 2e-4
@@ -176,17 +179,32 @@ def main():
     p.add_argument("--out", default="results/loss_curve_parity.json")
     p.add_argument("--window", type=int, default=50)
     p.add_argument("--seeds", type=int, nargs="+", default=[0],
-                   help="one curve per seed per framework; with >=2 "
-                        "seeds the cross-seed SAME-framework ratio is "
-                        "reported as the natural noise band that the "
+                   help="one jax curve per seed; with >=2 seeds the "
+                        "cross-seed SAME-framework ratio is reported "
+                        "as the natural noise band that the "
                         "cross-framework ratio must stay within")
+    p.add_argument("--torch-seeds", type=int, nargs="+", default=None,
+                   help="torch-side seeds (default: same as --seeds); "
+                        "fewer torch seeds keep the slow CPU side "
+                        "tractable for long runs")
+    p.add_argument("--jax-platform", choices=["cpu", "default"],
+                   default="cpu",
+                   help="'default' runs the jax curves on the real "
+                        "backend (TPU) with f32 HIGHEST precision")
     args = p.parse_args()
+    if args.jax_platform == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+    else:
+        jax.config.update("jax_default_matmul_precision", "highest")
+    torch_seeds = (args.seeds if args.torch_seeds is None
+                   else args.torch_seeds)
 
     stream = make_stream(args.steps)
     print(f"running {args.steps} steps x{ACCUM} accum, bs {BS}, {SIZE}^2, "
-          f"seeds {args.seeds} ...")
+          f"jax seeds {args.seeds} (platform {args.jax_platform}), "
+          f"torch seeds {torch_seeds} ...")
+    tcs = [torch_curve(args.steps, stream, seed=s) for s in torch_seeds]
     jcs = [jax_curve(args.steps, stream, seed=s) for s in args.seeds]
-    tcs = [torch_curve(args.steps, stream, seed=s) for s in args.seeds]
     jc = np.mean(jcs, axis=0).tolist()
     tc = np.mean(tcs, axis=0).tolist()
 
@@ -197,26 +215,29 @@ def main():
     result = {
         "steps": args.steps, "batch_size": BS, "accum": ACCUM,
         "image_size": SIZE, "unet": {k: str(v) for k, v in UNET.items()},
-        "seeds": args.seeds,
+        "seeds": args.seeds, "torch_seeds": torch_seeds,
+        "jax_platform": args.jax_platform,
         "torch_curve": tc, "jax_curve": jc,
         "torch_curves": tcs, "jax_curves": jcs,
         "window": args.window, "window_ratios_jax_over_torch": ratios,
         "final_window_ratio": final_ratio,
         "loss_drop_torch": float(drop_t), "loss_drop_jax": float(drop_j),
     }
-    if len(args.seeds) >= 2:
+    if len(torch_seeds) >= 2:
         result["window_ratios_torch_seed0_over_seed1"] = window_ratios(
             tcs[0], tcs[1], args.window)
+    if len(args.seeds) >= 2:
         result["window_ratios_jax_seed0_over_seed1"] = window_ratios(
             jcs[0], jcs[1], args.window)
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
     with open(args.out, "w") as f:
         json.dump(result, f)
     print(f"window ratios (jax/torch): {[f'{r:.3f}' for r in ratios]}")
-    if len(args.seeds) >= 2:
+    if len(torch_seeds) >= 2:
         print("noise band (torch s0/s1):",
               [f"{r:.3f}" for r in result[
                   "window_ratios_torch_seed0_over_seed1"]])
+    if len(args.seeds) >= 2:
         print("noise band (jax s0/s1):  ",
               [f"{r:.3f}" for r in result[
                   "window_ratios_jax_seed0_over_seed1"]])
