@@ -32,7 +32,14 @@ accumulator.
 
 LayerNorm preserves the reference quirk exactly: biased variance, eps
 added to the *std* (models/blocks.py ChannelLayerNorm; reference
-models/unet/blocks.py:50-60).
+models/unet/blocks.py:50-60).  Inside the kernels the channel
+reductions run on the MXU (dot with a ones matrix, parallel-moments
+variance — see _layer_norm_mxu): lane-axis VPU reductions were 27% of
+the whole block's time at the 128^2 shape.
+
+Blocks with few tokens (N <= 512, i.e. the 16^2 latents) take the
+plain XLA einsum path instead: two pallas dispatches cost more than
+fusion saves there (measured in scripts/probe_attention_shapes.py).
 
 Gradients: jax.custom_vjp re-derives the backward pass from the
 identical pure-JAX computation.
@@ -60,6 +67,39 @@ def _layer_norm_f32(x, g, b):
     mean = xf.mean(axis=-1, keepdims=True)
     var = xf.var(axis=-1, keepdims=True)  # biased
     return (xf - mean) / (jnp.sqrt(var) + LN_EPS) * g + b
+
+
+def _layer_norm_mxu(x, g, b):
+    """In-kernel LayerNorm with the channel reductions on the MXU.
+
+    Lane-axis reductions are the VPU's weak spot (log2(C) shuffle steps
+    per tile); dot(x, ones) computes sum(x) on the systolic array
+    instead, with f32 accumulation of the exact bf16 inputs.  Variance
+    uses the parallel-moments form E[x^2] - E[x]^2 (f32; inputs are
+    LN-scale activations, so cancellation is ~1e-7 relative — measured
+    one bf16 ulp against the two-pass form on the production path).
+    Measured on the 128^2 c128 block at bs 96: 5.96 -> 5.17 ms for the
+    whole fused block (scripts/probe_attention_shapes.py session).
+
+    Only pays at C <= 128: at C=256 the ones-matmul runs two systolic
+    depth passes per stat (2 x 268 MF/tile) and measures SLOWER than
+    the VPU reduce (64^2 c256 block: 2.45 -> 2.72 ms), so wider
+    channels use the VPU parallel-moments form instead."""
+    n = x.shape[-1]
+    xf = x.astype(jnp.float32)
+    if n <= 128:
+        ones = jnp.ones((n, 128), x.dtype)
+        dims = (((1,), (0,)), ((), ()))
+        s1 = lax.dot_general(x, ones, dims,
+                             preferred_element_type=jnp.float32)[:, :1]
+        s2 = lax.dot_general(x * x, ones, dims,
+                             preferred_element_type=jnp.float32)[:, :1]
+        m1 = s1 / n
+        var = s2 / n - m1 * m1
+    else:
+        m1 = xf.mean(axis=-1, keepdims=True)
+        var = (xf * xf).mean(axis=-1, keepdims=True) - m1 * m1
+    return (xf - m1) / (jnp.sqrt(var) + LN_EPS) * g + b
 
 
 def _reference_impl(x, g, b, w_qkv, w_out, b_out, dim_head: int):
@@ -104,7 +144,7 @@ def _ctx_kernel(x_ref, g_ref, b_ref, wkv_ref, ctx_ref,
         s_scr[:] = jnp.zeros_like(s_scr)
         a_scr[:] = jnp.zeros_like(a_scr)
 
-    ln = _layer_norm_f32(x_ref[0], g_ref[:], b_ref[:])      # (TN, C) f32
+    ln = _layer_norm_mxu(x_ref[0], g_ref[:], b_ref[:])      # (TN, C) f32
     ln = ln.astype(x_ref.dtype)
     # one (C -> 2*hidden) matmul: wider MXU N-dim than separate k/v
     kv = jnp.dot(ln, wkv_ref[:], preferred_element_type=jnp.float32)
@@ -132,7 +172,7 @@ def _out_kernel(x_ref, g_ref, b_ref, weff_ref, bo_ref, y_ref):
     associativity collapses the q-projection, context application and
     out-projection: ((ln@Wq) @ ctx) @ Wout == ln @ (Wq @ ctx @ Wout)."""
     x = x_ref[0]
-    ln = _layer_norm_f32(x, g_ref[:], b_ref[:]).astype(x.dtype)
+    ln = _layer_norm_mxu(x, g_ref[:], b_ref[:]).astype(x.dtype)
     y = jnp.dot(ln, weff_ref[0].astype(x.dtype),
                 preferred_element_type=jnp.float32) + bo_ref[:]
     y_ref[0] = (x.astype(jnp.float32) + y).astype(y_ref.dtype)
@@ -149,10 +189,19 @@ def _pick_tile(n: int, target: int = 4096) -> int:
     return max(tile, 1)
 
 
+# below this token count the grid/dispatch overhead of two pallas
+# passes exceeds what fusion saves: at 16^2 (N=256, bs 96) the XLA
+# einsum path measures 0.68 ms vs 0.79 fused
+# (scripts/probe_attention_shapes.py); at 32^2 (N=1024) fused wins.
+XLA_PATH_MAX_TOKENS = 512
+
+
 def _fused_forward(x, g, b, w_qkv, w_out, b_out, dim_head: int,
                    interpret: bool = False):
     interpret = interpret or jax.default_backend() == "cpu"
     bsz, n, c = x.shape
+    if n <= XLA_PATH_MAX_TOKENS and not interpret:
+        return _reference_impl(x, g, b, w_qkv, w_out, b_out, dim_head)
     hidden = w_out.shape[0]
     tn = _pick_tile(n)
     nt = n // tn

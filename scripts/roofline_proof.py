@@ -63,7 +63,7 @@ def collect_convs(jaxpr, out=None):
     return out
 
 
-def timed_scan(fn, args, scan_len=50):
+def timed_scan(fn, args, scan_len=50, reps=3):
     """Wall time per application: scan inside one jit, scalar fetch."""
     @jax.jit
     def chain(*args):
@@ -74,7 +74,7 @@ def timed_scan(fn, args, scan_len=50):
 
     _ = float(chain(*args))
     best = np.inf
-    for _ in range(2):
+    for _ in range(reps):
         start = time.perf_counter()
         _ = float(chain(*args))
         best = min(best, (time.perf_counter() - start) / scan_len)
@@ -115,7 +115,13 @@ def time_conv(spec):
 
     dt = timed_scan(conv, (lhs, rhs))
     if not same_shape:
-        dt = max(dt - _carry_overhead(lhs), 1e-9)
+        carry = _carry_overhead(lhs)
+        if dt - carry < 0.3 * dt:
+            # suspicious subtraction (tunnel timing glitch can make one
+            # leg read high/low): remeasure both with more reps
+            dt = timed_scan(conv, (lhs, rhs), reps=6)
+            carry = timed_scan(lambda c: c * 1.000001, (lhs,), reps=6)
+        dt = max(dt - carry, 0.3 * dt)
     return dt
 
 
@@ -151,10 +157,110 @@ def gemm_bound_s(spec):
     return conv_flops(spec) / (MXU_PEAK_TF * lane * depth)
 
 
+def record_module_shapes(unet_eval, z, t):
+    """One abstract trace with recording wrappers: every attention
+    block's (tokens, channels) and every GroupNorm input shape.  Shapes
+    are static under tracing, so eval_shape is enough — no FLOPs."""
+    from flax import linen as nn
+    from dddpm_tpu.models import blocks as B
+
+    attn_shapes, gn_shapes = [], []
+    orig_attn = B.PreNormLinearAttention.__call__
+    orig_gn = nn.GroupNorm.__call__
+
+    def rec_attn(self, x):
+        attn_shapes.append(tuple(x.shape))
+        return orig_attn(self, x)
+
+    def rec_gn(self, x, *a, **k):
+        gn_shapes.append(tuple(x.shape))
+        return orig_gn(self, x, *a, **k)
+
+    B.PreNormLinearAttention.__call__ = rec_attn
+    nn.GroupNorm.__call__ = rec_gn
+    try:
+        jax.eval_shape(unet_eval, z, t)
+    finally:
+        B.PreNormLinearAttention.__call__ = orig_attn
+        nn.GroupNorm.__call__ = orig_gn
+    return attn_shapes, gn_shapes
+
+
+def attn_bound_s(shape, bw):
+    """Structural bound for one fused PreNorm linear-attention block at
+    (B, H, W, C): max of its MXU matmul time and its minimal HBM
+    traffic.  The fused kernel reads x twice (two-pass: stats+qkv, then
+    attention+out+residual) and writes once — 3 passes of bf16 — which
+    is already within 1.5x of the absolute floor (2 passes), so the
+    bound uses the floor.  MXU: qkv (C->384), context+out einsums
+    (per-head d=32 contractions - depth_util 32/128), out-proj
+    (128->C)."""
+    b, h, w, c = shape
+    n = b * h * w
+    hid = 128  # heads 4 x dim_head 32
+    f_qkv = 2 * n * c * 3 * hid
+    f_ctx = 2 * 2 * n * hid * 32  # two einsums, per-head depth 32
+    f_out = 2 * n * hid * c
+    depth = lambda k: k / (-(-k // 128) * 128)  # noqa: E731
+    mxu = (f_qkv / (MXU_PEAK_TF * depth(c))
+           + f_ctx / (MXU_PEAK_TF * (32 / 128.0))
+           + f_out / (MXU_PEAK_TF * depth(hid)))
+    hbm = 2 * (n * c * 2) / (bw * 1e9)  # read x + write out, bf16
+    return max(mxu, hbm)
+
+
+def gn_bound_s(shape, bw):
+    """Structural bound for one GroupNorm+Mish: the activation must be
+    read and written once each (stats fuse into the passes)."""
+    return 2 * int(np.prod(shape)) * 2 / (bw * 1e9)
+
+
+def time_ablations(build_eval, z, t):
+    """In-graph attribution: full eval vs attention-off vs GN+Mish-off.
+    Patches are applied before (re)tracing; params stay those of the
+    full model (flax ignores unused subtrees)."""
+    from flax import linen as nn
+    from dddpm_tpu.models import blocks as B
+
+    def run():
+        fn = build_eval()
+        return timed_scan(lambda zz, tt: fn(zz, tt).astype(jnp.bfloat16),
+                          (z, t))
+
+    out = {"full": run()}
+
+    orig_attn = B.PreNormLinearAttention.__call__
+    B.PreNormLinearAttention.__call__ = lambda self, x: x
+    try:
+        out["no_attention"] = run()
+    finally:
+        B.PreNormLinearAttention.__call__ = orig_attn
+
+    orig_gn = nn.GroupNorm.__call__
+    orig_mish = B.mish
+    nn.GroupNorm.__call__ = lambda self, x, *a, **k: x
+    B.mish = lambda x: x
+    try:
+        out["no_gn_mish"] = run()
+        B.PreNormLinearAttention.__call__ = lambda self, x: x
+        try:
+            out["convs_only"] = run()
+        finally:
+            B.PreNormLinearAttention.__call__ = orig_attn
+    finally:
+        nn.GroupNorm.__call__ = orig_gn
+        B.mish = orig_mish
+    return out
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--bs", type=int, default=96)
     p.add_argument("--json", default=None)
+    p.add_argument("--ablate", action="store_true",
+                   help="also time attention-off / GN+Mish-off evals "
+                        "and report the TOTAL structural bound "
+                        "(convs + attention + normalization)")
     p.add_argument("--bw-gbs", type=float, default=None,
                    help="effective HBM GB/s for the traffic bound "
                         "(default: measured with a copy kernel)")
@@ -248,12 +354,49 @@ def main():
           "in-graph cost (no elementwise fusion, per-op dispatch), so the "
           "honest comparison is full-eval vs sum-of-bounds")
 
+    result = {"bs": args.bs, "bw_gbs": bw,
+              "full_eval_ms": full_dt * 1e3, "convs": rows,
+              "conv_total_ms": total_ach * 1e3,
+              "conv_bound_ms": total_bound * 1e3}
+
+    if args.ablate:
+        attn_shapes, gn_shapes = record_module_shapes(unet_eval, z, t)
+        attn_bound = sum(attn_bound_s(s, bw) for s in attn_shapes)
+        gn_bound = sum(gn_bound_s(s, bw) for s in gn_shapes)
+        total = total_bound + attn_bound + gn_bound
+        print(f"\nanalytic bounds: {len(attn_shapes)} attention blocks "
+              f"{attn_bound * 1e3:.2f} ms, {len(gn_shapes)} GroupNorm+Mish "
+              f"{gn_bound * 1e3:.2f} ms")
+        print(f"TOTAL structural bound (convs + attention + norm): "
+              f"{total * 1e3:.1f} ms vs full eval {full_dt * 1e3:.1f} ms "
+              f"-> ratio {full_dt / total:.2f}", flush=True)
+
+        abl = time_ablations(lambda: unet_eval, z, t)
+        d_attn = abl["full"] - abl["no_attention"]
+        d_gn = abl["full"] - abl["no_gn_mish"]
+        print("in-graph attribution (ablation):")
+        print(f"  full eval            {abl['full'] * 1e3:7.2f} ms")
+        print(f"  attention-off        {abl['no_attention'] * 1e3:7.2f} ms "
+              f"-> attention costs {d_attn * 1e3:.2f} ms "
+              f"(bound {attn_bound * 1e3:.2f})")
+        print(f"  GN+Mish-off          {abl['no_gn_mish'] * 1e3:7.2f} ms "
+              f"-> GN+Mish costs {d_gn * 1e3:.2f} ms "
+              f"(bound {gn_bound * 1e3:.2f})")
+        print(f"  convs-only           {abl['convs_only'] * 1e3:7.2f} ms "
+              f"(conv structural bound {total_bound * 1e3:.2f})", flush=True)
+        result.update({
+            "attn_blocks": [list(s) for s in attn_shapes],
+            "gn_passes": len(gn_shapes),
+            "attn_bound_ms": attn_bound * 1e3,
+            "gn_bound_ms": gn_bound * 1e3,
+            "total_bound_ms": total * 1e3,
+            "full_vs_total_bound": full_dt / total,
+            "ablation_ms": {k: v * 1e3 for k, v in abl.items()},
+        })
+
     if args.json:
         with open(args.json, "w") as f:
-            json.dump({"bs": args.bs, "bw_gbs": bw,
-                       "full_eval_ms": full_dt * 1e3, "convs": rows,
-                       "conv_total_ms": total_ach * 1e3,
-                       "conv_bound_ms": total_bound * 1e3}, f, indent=1)
+            json.dump(result, f, indent=1)
         print(f"wrote {args.json}")
 
 
