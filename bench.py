@@ -72,9 +72,10 @@ def run_sampling(batch_size: int):
     out = sampler(params, rng)           # compile + warmup
     jax.block_until_ready(out)
     # >=3 timed reps: run-to-run tunnel variance is ~3%, a single rep
-    # can move vs_baseline by a point (VERDICT r2)
+    # can move vs_baseline by a point (VERDICT r2); occasional cold
+    # outliers reach -17%, hence 5 reps + trimmed mean in emit()
     reps = []
-    for i in range(int(os.environ.get("BENCH_REPS", "3"))):
+    for i in range(int(os.environ.get("BENCH_REPS", "5"))):
         start = time.perf_counter()
         out = sampler(params, jax.random.fold_in(rng, i + 1))
         jax.block_until_ready(out)
@@ -115,13 +116,18 @@ def emit(mode: str, batch_size: int):
     if mode == "--run":
         reps, n_chips = run_sampling(batch_size)
         per_chip = [r / n_chips for r in reps]
-        value = sum(per_chip) / len(per_chip)
-        spread = (max(per_chip) - min(per_chip)) / 2
+        # trimmed mean (drop min and max when >=4 reps): the tunnel
+        # occasionally produces a single cold rep ~17% low; all raw
+        # reps stay in the record for transparency
+        kept = (sorted(per_chip)[1:-1] if len(per_chip) >= 4
+                else per_chip)
+        value = sum(kept) / len(kept)
+        spread = (max(kept) - min(kept)) / 2
         print(json.dumps({
             "metric": "dDDPM_x2_256px_sampling_imgs_per_sec_per_chip",
             "value": round(value, 4),
             "unit": f"imgs/sec/chip (1000-step reverse chain, bs {batch_size}, "
-                    f"bf16, fused attention; mean of {len(reps)} reps, "
+                    f"bf16, fused attention; trimmed mean of {len(reps)} reps, "
                     f"±{spread:.4f})",
             "vs_baseline": round(value / REFERENCE_IMGS_PER_SEC, 4),
             "reps": [round(v, 4) for v in per_chip],

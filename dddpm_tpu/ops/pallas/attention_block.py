@@ -182,7 +182,10 @@ def _pick_tile(n: int, target: int = 4096) -> int:
     """Token-tile size: bigger tiles amortize per-grid-step overhead
     (the 128^2-latent block runs 2 x bsz x N/tile sequential grid
     steps); 4096 keeps pass A's f32 temporaries ~10 MB of VMEM
-    (benched 1.7021 -> 1.7075 imgs/s over 2048 on the headline chain)."""
+    (benched 1.7021 -> 1.7075 imgs/s over 2048 on the headline chain).
+    c<=128 blocks take 8192 (isolated 5.01 -> 4.87 ms at the 128^2
+    shape; 16384 exceeds the scoped-VMEM limit); at c=256 the f32 kv
+    temporary alone would be 16 MB at 8192, so those stay at 4096."""
     tile = min(n, target)
     while n % tile:
         tile //= 2
@@ -203,7 +206,7 @@ def _fused_forward(x, g, b, w_qkv, w_out, b_out, dim_head: int,
     if n <= XLA_PATH_MAX_TOKENS and not interpret:
         return _reference_impl(x, g, b, w_qkv, w_out, b_out, dim_head)
     hidden = w_out.shape[0]
-    tn = _pick_tile(n)
+    tn = _pick_tile(n, 8192 if c <= 128 else 4096)
     nt = n // tn
 
     # qkv weight columns ordered (3, heads, d) -> q | k | v slabs

@@ -50,7 +50,8 @@ def main():
 
     orig = ab._pick_tile
     for target in (2048, 4096, 8192, 16384):
-        ab._pick_tile = lambda n, t=target: orig(n, t)
+        # swallow the call site's explicit target so the sweep wins
+        ab._pick_tile = lambda n, target=None, t=target: orig(n, t)
         try:
             dt = timed_scan(
                 lambda xx: ab.attention_block(xx, g, b, wqkv, wout, bout, 32),
