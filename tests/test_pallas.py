@@ -154,3 +154,41 @@ def test_fused_attention_block_clamped_regime_consistency():
     # order visible; this checks consistency, not precision
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-2, atol=1e-2)
+
+
+def test_attention_tile_policy_by_channel_width():
+    """c<=128 blocks tile at 8192 tokens, c=256 at 4096 (scoped-VMEM:
+    the f32 kv temporary at c=256/t8192 alone would be 16 MB)."""
+    from dddpm_tpu.ops.pallas import attention_block as ab
+
+    assert ab._pick_tile(16384, 8192) == 8192
+    assert ab._pick_tile(16384, 4096) == 4096
+    assert ab._pick_tile(1024, 8192) == 1024  # tile never exceeds n
+
+
+def test_attention_small_n_takes_xla_path(monkeypatch):
+    """N <= XLA_PATH_MAX_TOKENS dispatches to the plain einsum path on
+    accelerators (two pallas launches cost more than fusion saves at
+    16^2 latents): the output must be BIT-identical to _reference_impl."""
+    from dddpm_tpu.ops.pallas import attention_block as ab
+
+    c, hidden = 128, 128
+    ks = jax.random.split(jax.random.PRNGKey(11), 6)
+    n = ab.XLA_PATH_MAX_TOKENS
+    x = jax.random.normal(ks[0], (2, n, c))
+    g = jnp.ones(c) + 0.1 * jax.random.normal(ks[1], (c,))
+    b = 0.1 * jax.random.normal(ks[2], (c,))
+    w_qkv = jax.random.normal(ks[3], (c, 3 * hidden)) * 0.1
+    w_out = jax.random.normal(ks[4], (hidden, c)) * 0.1
+    b_out = 0.1 * jax.random.normal(ks[5], (c,))
+
+    # pretend we are on an accelerator so interpret is not forced on;
+    # the small-N branch must return before any pallas_call is built
+    monkeypatch.setattr(ab.jax, "default_backend", lambda: "tpu")
+    called = []
+    monkeypatch.setattr(ab.pl, "pallas_call",
+                        lambda *a, **k: called.append(1))
+    got = ab._fused_forward(x, g, b, w_qkv, w_out, b_out, 32, False)
+    want = ab._reference_impl(x, g, b, w_qkv, w_out, b_out, 32)
+    assert not called
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
