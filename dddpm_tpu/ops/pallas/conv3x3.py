@@ -46,20 +46,46 @@ def _shift_w(band, dx):
     return jnp.concatenate([band[:, 1:], zero], axis=1)
 
 
-def _conv_kernel(x_ref, top_ref, bot_ref, w_ref, b_ref, y_ref, *,
-                 th, w, cin, cout, apply_mish):
+def _conv_kernel(x_ref, top_ref, bot_ref, w_ref, b_ref, *refs, th, w,
+                 cin, cout, apply_mish, has_prologue, has_pbias):
+    scale_ref = shift_ref = pbias_ref = None
+    if has_prologue:
+        scale_ref, shift_ref = refs[0], refs[1]
+        if has_pbias:
+            pbias_ref = refs[2]
+    y_ref = refs[-1]
+    i = pl.program_id(0)
     j = pl.program_id(1)
     nt = pl.num_programs(1)
 
     x = x_ref[0]                                   # (TH, W, Cin)
     top = top_ref[0]                               # (1, W, Cin)
     bot = bot_ref[0]
-    # zero out-of-image halo rows
-    top = jnp.where(j == 0, jnp.zeros_like(top), top)
-    bot = jnp.where(j == nt - 1, jnp.zeros_like(bot), bot)
     band = jnp.concatenate([top, x, bot], axis=0)  # (TH+2, W, Cin)
-    if apply_mish:
+    if has_prologue:
+        # folded GroupNorm: per-(batch, channel) affine in f32, then
+        # mish, rounded to the model dtype BEFORE the post-bias add so
+        # the result bit-matches the unfused Block -> (+ time bias).
+        # scale/shift/pbias arrive as full (B, C) blocks (tiny); the
+        # batch row is picked in-kernel (a (1, C) BlockSpec would
+        # violate the sublane-divisibility rule).
+        band = (band.astype(jnp.float32) * scale_ref[pl.ds(i, 1), :]
+                + shift_ref[pl.ds(i, 1), :])
+        band = mish(band).astype(x.dtype)
+        if has_pbias:
+            # pbias is f32 in VMEM (bf16 dynamic row loads do not
+            # lower); adding the bf16-exact values in f32 and rounding
+            # bit-matches the model's bf16 add
+            band = (band.astype(jnp.float32)
+                    + pbias_ref[pl.ds(i, 1), :]).astype(x.dtype)
+    elif apply_mish:
         band = mish(band.astype(jnp.float32)).astype(band.dtype)
+
+    # zero out-of-image halo rows AFTER the prologue: conv padding is
+    # zeros in operand space (prologue(0) != 0)
+    row = lax.broadcasted_iota(jnp.int32, (th + 2, 1, 1), 0)
+    valid = ((row > 0) | (j > 0)) & ((row < th + 1) | (j < nt - 1))
+    band = jnp.where(valid, band, jnp.zeros_like(band))
 
     acc = jnp.zeros((th * w, cout), jnp.float32)
     for dy in range(3):
@@ -73,8 +99,14 @@ def _conv_kernel(x_ref, top_ref, bot_ref, w_ref, b_ref, y_ref, *,
 
 
 def conv3x3_fused(x, w, b, *, apply_mish: bool = False, th: int = 8,
+                  scale=None, shift=None, post_bias=None,
                   interpret: bool = False):
-    """y = conv3x3(mish(x) if apply_mish else x, w) + b.  NHWC, stride 1.
+    """y = conv3x3(prologue(x), w) + b.  NHWC, stride 1.
+
+    prologue(x) = mish(x * scale + shift) + post_bias when `scale` is
+    given (folded GroupNorm + Mish + e.g. time-embedding bias, all
+    per-(batch, channel) f32/model-dtype arrays of shape (B, Cin));
+    else mish(x) when apply_mish; else identity.
 
     x: (B, H, W, Cin); w: (3, 3, Cin, Cout); b: (Cout,).
     """
@@ -104,14 +136,30 @@ def conv3x3_fused(x, w, b, *, apply_mish: bool = False, th: int = 8,
     b_spec = pl.BlockSpec((1, cout), lambda i, j: (0, 0),
                           memory_space=pltpu.VMEM)
 
+    has_prologue = scale is not None
+    has_pbias = post_bias is not None
+    extra, extra_specs = [], []
+    if has_prologue:
+        assert shift is not None
+        bc_spec = pl.BlockSpec((bsz, cin), lambda i, j: (0, 0),
+                               memory_space=pltpu.VMEM)
+        extra = [scale.astype(jnp.float32).reshape(bsz, cin),
+                 shift.astype(jnp.float32).reshape(bsz, cin)]
+        extra_specs = [bc_spec, bc_spec]
+        if has_pbias:
+            extra.append(post_bias.astype(jnp.float32).reshape(bsz, cin))
+            extra_specs.append(bc_spec)
+
     return pl.pallas_call(
         partial(_conv_kernel, th=th, w=wd, cin=cin, cout=cout,
-                apply_mish=apply_mish),
+                apply_mish=apply_mish, has_prologue=has_prologue,
+                has_pbias=has_pbias),
         grid=(bsz, nt),
-        in_specs=[x_spec, top_spec, bot_spec, w_spec, b_spec],
+        in_specs=[x_spec, top_spec, bot_spec, w_spec, b_spec,
+                  *extra_specs],
         out_specs=x_spec if cin == cout else pl.BlockSpec(
             (1, th, wd, cout), lambda i, j: (i, j, 0, 0),
             memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((bsz, h, wd, cout), x.dtype),
         interpret=interpret,
-    )(x, x, x, w9, b2)
+    )(x, x, x, w9, b2, *extra)

@@ -49,6 +49,40 @@ def test_conv3x3_fused_matches_xla(shape, cout, apply_mish):
     assert jnp.max(jnp.abs(got - want)) < 1e-3
 
 
+def test_conv3x3_fused_gn_fold_prologue():
+    """prologue(x) = mish(x*scale+shift) + post_bias, per (batch,
+    channel) — the folded-GroupNorm form (measured at the ResnetBlock
+    seam on the v5e: in-graph XLA wins; see BENCH_NOTES.md)."""
+    shape, cout = (2, 16, 16, 128), 128
+    x, w, b = _data(shape, cout)
+    k = jax.random.PRNGKey(7)
+    scale = 1.0 + 0.1 * jax.random.normal(k, (shape[0], shape[-1]))
+    shift = 0.2 * jax.random.normal(jax.random.fold_in(k, 1),
+                                    (shape[0], shape[-1]))
+    pbias = 0.2 * jax.random.normal(jax.random.fold_in(k, 2),
+                                    (shape[0], shape[-1]))
+    got = conv3x3_fused(x, w, b, scale=scale, shift=shift,
+                        post_bias=pbias)
+    pro = (mish(x.astype(jnp.float32) * scale[:, None, None, :]
+                + shift[:, None, None, :]).astype(x.dtype)
+           + pbias[:, None, None, :].astype(x.dtype))
+    want = _ref(pro, w, b)
+    assert jnp.max(jnp.abs(got - want)) < 1e-3
+
+
+def test_conv3x3_fused_gn_fold_zero_padding_is_operand_space():
+    """Out-of-image conv padding must be zero AFTER the prologue
+    (prologue(0) != 0): check rows at the top/bottom image edges."""
+    shape, cout = (1, 16, 8, 128), 128
+    x, w, b = _data(shape, cout)
+    scale = jnp.ones((1, 128))
+    shift = jnp.full((1, 128), 0.5)   # prologue(0) = mish(0.5) != 0
+    got = conv3x3_fused(x, w, b, scale=scale, shift=shift)
+    pro = mish(x.astype(jnp.float32) + 0.5).astype(x.dtype)
+    want = _ref(pro, w, b)
+    assert jnp.max(jnp.abs(got - want)) < 1e-3
+
+
 @pytest.mark.parametrize("shape,cout", [
     ((2, 8, 8, 16), 24),
     ((1, 16, 6, 8), 8),
