@@ -6,17 +6,22 @@ and every Block (reference models/unet/blocks.py:74-84) pays two extra
 full-tensor HBM round trips for GroupNorm+Mish between convs.  This
 kernel computes
 
-    y = conv3x3(prologue(x) [+ res], W) + b
+    y = conv3x3(prologue(x), W) + b
     prologue(x) = mish(x * scale + shift) + post_bias   (all optional)
 
 in one pass: the normalize/activate work rides the VPU while the MXU
 runs the 9 tap matmuls, and the inter-block activation tensor never
 makes a separate HBM round trip.  `scale`/`shift` are per-(batch,
 channel) f32 arrays: GroupNorm folded per batch element
-(scale = g / (std_group + eps), shift = b - mean_group * scale), so the
-kernel itself stays elementwise.  An optional stats output accumulates
-per-(batch, channel) sum / sum-of-squares of y for computing the NEXT
-block's GroupNorm without re-reading y.
+(scale = g * rsqrt(var_group + eps), shift = b - mean_group * scale),
+so the kernel itself stays elementwise; `post_bias` covers the
+time-embedding channel bias.
+
+Measured verdict (v5e, scripts/probe_block_fusion.py, BENCH_NOTES.md):
+at the ResnetBlock inner seam XLA's unfused graph BEATS this fusion by
+8-35% — XLA already hides the GN/Mish passes inside the conv pipeline
+(its whole 2-conv seam costs less than two isolated convs).  Kept as a
+tested building block; the production UNet keeps XLA convs.
 
 Layout: NHWC, C multiple of 128 (lane width), W a multiple of 8.
 Grid = (B, H / TH) row bands; halo rows come from two extra single-row
@@ -138,6 +143,7 @@ def conv3x3_fused(x, w, b, *, apply_mish: bool = False, th: int = 8,
 
     has_prologue = scale is not None
     has_pbias = post_bias is not None
+    assert has_prologue or not has_pbias, "post_bias requires scale/shift"
     extra, extra_specs = [], []
     if has_prologue:
         assert shift is not None
