@@ -141,10 +141,22 @@ class ConvResBlock(nn.Module):
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         assert not (self.upsample and self.downsample)
+        # the four convs are created unconditionally with EXPLICIT names
+        # (matching flax's historical auto-names, so checkpoints are
+        # unchanged); fused-vs-reference execution is selected after, so
+        # the param tree is structurally identical in both branches and
+        # the fused path's weight-slot mapping cannot desynchronize
+        convs = (
+            _conv(self.dim, self.in_channels, 1, dtype=self.dtype,
+                  name="Conv_0"),
+            _conv(self.dim, self.dim, 3, dtype=self.dtype, name="Conv_1"),
+            _conv(self.dim, self.dim, 3, dtype=self.dtype, name="Conv_2"),
+            _conv(self.out_channels, self.dim, 1, dtype=self.dtype,
+                  name="Conv_3"),
+        )
         if self._fused_eligible(x):
             # single fused Pallas kernel over the whole mish-conv
-            # bottleneck (ops/pallas/convres.py); params were created
-            # by the reference path at init, so names/shapes match
+            # bottleneck (ops/pallas/convres.py)
             p = self.variables["params"]
             h = fused_convres_block(
                 x,
@@ -155,12 +167,10 @@ class ConvResBlock(nn.Module):
                 False,
             )
         else:
-            h = _conv(self.dim, self.in_channels, 1,
-                      dtype=self.dtype)(mish(x))
-            h = _conv(self.dim, self.dim, 3, dtype=self.dtype)(mish(h))
-            h = _conv(self.dim, self.dim, 3, dtype=self.dtype)(mish(h))
-            h = _conv(self.out_channels, self.dim, 1,
-                      dtype=self.dtype)(mish(h))
+            h = convs[0](mish(x))
+            h = convs[1](mish(h))
+            h = convs[2](mish(h))
+            h = convs[3](mish(h))
         # Dropout2d: drop whole channel maps (broadcast over H, W)
         h = nn.Dropout(rate=self.dropout, broadcast_dims=(1, 2))(
             h, deterministic=deterministic

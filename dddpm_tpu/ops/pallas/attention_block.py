@@ -95,10 +95,14 @@ def _layer_norm_mxu(x, g, b):
         s2 = lax.dot_general(x * x, ones, dims,
                              preferred_element_type=jnp.float32)[:, :1]
         m1 = s1 / n
-        var = s2 / n - m1 * m1
+        # parallel-moments var can round slightly negative for
+        # near-constant rows (x*x is bf16 on the n<=128 path); clamp so
+        # sqrt never returns NaN — one free VPU op
+        var = jnp.maximum(s2 / n - m1 * m1, 0.0)
     else:
         m1 = xf.mean(axis=-1, keepdims=True)
-        var = (xf * xf).mean(axis=-1, keepdims=True) - m1 * m1
+        var = jnp.maximum(
+            (xf * xf).mean(axis=-1, keepdims=True) - m1 * m1, 0.0)
     return (xf - m1) / (jnp.sqrt(var) + LN_EPS) * g + b
 
 

@@ -28,8 +28,29 @@ from jax.experimental.pallas import tpu as pltpu
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_tpu_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-from dddpm_tpu.ops.pallas.convres import (  # noqa: E402
-    _im2col3x3, _mish, _wpad, fused_convres_block)
+from dddpm_tpu.ops.pallas.convres import _mish  # noqa: E402
+
+
+# The pre-rewrite (un-packed) kernel's im2col helpers, inlined here when
+# the lane-packed rewrite removed them from convres.py: this probe
+# benchmarks the PRE-rewrite kernel variants, so it keeps its own copy.
+def _wpad(h):
+    """Zero-pad the width axis by 1 on each side: (r, w, c) -> (r, w+2, c)."""
+    return jnp.pad(h, ((0, 0), (1, 1), (0, 0)))
+
+
+def _im2col3x3(h, im_ref):
+    """im2col for a VALID 3x3 over rows, SAME over width: (r, w, c) ->
+    ((r-2)*w, 9*c), staged through the im_ref VMEM scratch."""
+    r, w, c = h.shape
+    hp = _wpad(h)
+    m = (r - 2) * w
+    for ky in range(3):
+        for kx in range(3):
+            t = ky * 3 + kx
+            im_ref[0:m, t * c:(t + 1) * c] = (
+                hp[ky:ky + r - 2, kx:kx + w, :].reshape(m, c))
+    return im_ref[0:m, :]
 
 
 def _row_mask_3d(rows, start, h, width, ch, dtype):

@@ -19,6 +19,17 @@ and naming follow the 2015 graph as documented by pytorch-fid's
 FIDInception patches and the TTUR fid.py graph walk; the padding-
 excluding SAME avg-pool and the max-pool in the second 8x8 block are
 load-bearing details.
+
+PROVENANCE LIMIT (stated for honesty): the TF graph built here derives
+its conv kernel SHAPES from the flax template, and its topology from
+pytorch-fid/TTUR *documentation* of the 2015 pb — not from the actual
+OpenAI ``classify_image_graph_def.pb``, which is unobtainable in this
+image.  A topology error shared by both this test graph and the flax
+model would therefore pass silently.  The guard for the day real
+weights appear is the strict loader's key+shape audit
+(``load_params_npz``): ``test_strict_loader_rejects_permuted_npz``
+below proves a topology-level mismatch (kernels attached to the wrong
+layers) fails loudly at load time rather than silently skewing FID.
 """
 import os
 import sys
@@ -233,3 +244,50 @@ def test_flax_inception_matches_tf_frozen_graph(tmp_path):
                                rtol=2e-3, atol=2e-4)
     np.testing.assert_allclose(out["softmax"], softmax_tf,
                                rtol=2e-3, atol=1e-6)
+
+
+def test_strict_loader_rejects_permuted_npz(tmp_path):
+    """A topology-level mismatch — kernels attached to the wrong layers —
+    must fail loudly at load time (see the provenance-limit note in the
+    module docstring): if the real 2015 pb's layer order ever disagrees
+    with the flax walk, the permuted shapes hit the strict loader's
+    audit instead of silently skewing FID."""
+    import jax
+    import jax.numpy as jnp
+    from dddpm_tpu.evaluation.inception import (
+        InceptionV3, load_params_npz, param_template_shapes)
+
+    shapes = param_template_shapes()
+    rng = np.random.RandomState(0)
+    entries = {k: rng.randn(*s).astype(np.float32)
+               for k, s in shapes.items()}
+
+    # permute: swap the arrays of two differently-shaped conv kernels,
+    # as a wrong graph-walk zip would
+    kernels = [k for k in entries if k.endswith("/kernel")]
+    a = next(k for k in kernels if entries[k].ndim == 4)
+    bk = next(k for k in kernels
+              if entries[k].ndim == 4 and entries[k].shape != entries[a].shape)
+    entries[a], entries[bk] = entries[bk], entries[a]
+
+    npz = str(tmp_path / "permuted.npz")
+    np.savez(npz, **entries)
+
+    model = InceptionV3()
+    template = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0), jnp.zeros((1, 75, 75, 3))))
+
+    with pytest.raises(ValueError, match="shape mismatch"):
+        load_params_npz(npz, template)
+
+    # allow_partial is not an escape hatch for mismatched shapes either
+    with pytest.raises(ValueError, match="shape mismatch"):
+        load_params_npz(npz, template, allow_partial=True)
+
+    # control: the unpermuted npz strict-loads clean
+    entries[a], entries[bk] = entries[bk], entries[a]
+    good = str(tmp_path / "good.npz")
+    np.savez(good, **entries)
+    loaded = load_params_npz(good, template)
+    flat = jax.tree_util.tree_leaves(loaded)
+    assert all(np.isfinite(np.asarray(x)).all() for x in flat)
