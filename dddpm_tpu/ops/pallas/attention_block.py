@@ -251,12 +251,23 @@ def _fused_forward(x, g, b, w_qkv, w_out, b_out, dim_head: int,
     w_eff = jnp.einsum("ch,bhg,gf->bcf", w_q.astype(jnp.float32), ctx,
                        w_out.astype(jnp.float32)).astype(x.dtype)
 
+    # input_output_aliases: pass B writes y in-place into x's buffer
+    # (tile j is read before it is written; x is dead after this call).
+    # Measured (scripts/probe_attention_writeback.py): on this chip a
+    # read-one-buffer/write-another stream tops out at ~265 GB/s while
+    # in-place read+write reaches ~430 GB/s (the same rate XLA's own
+    # elementwise ops get) — aliasing alone cuts the stripped pass-B
+    # DMA from 3.05 to 1.87 ms at the 128^2 c128 block.  When x is
+    # still live afterwards (the training path saves it for the VJP),
+    # XLA inserts the copy automatically, so this is sampling-path free
+    # and training-path neutral.
     return pl.pallas_call(
         _out_kernel,
         grid=(bsz, nt),
         in_specs=[x_spec, vec_spec(c), vec_spec(c), weff_spec, vec_spec(c)],
         out_specs=x_spec,
         out_shape=jax.ShapeDtypeStruct((bsz, n, c), x.dtype),
+        input_output_aliases={0: 0},
         interpret=interpret,
     )(x, g2, b2, w_eff, bo2)
 

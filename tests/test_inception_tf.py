@@ -291,3 +291,113 @@ def test_strict_loader_rejects_permuted_npz(tmp_path):
     loaded = load_params_npz(good, template)
     flat = jax.tree_util.tree_leaves(loaded)
     assert all(np.isfinite(np.asarray(x)).all() for x in flat)
+
+
+def _tf_activations(graph_def, logits_kernel, images):
+    """Activations via the TF graph path, the reference's exact recipe."""
+    with tf.Graph().as_default() as run_graph:
+        input_batch = tf.placeholder(tf.float32, (None, None, None, 3))
+        pool3_t, spatial_t = tf.import_graph_def(
+            graph_def,
+            input_map={"ExpandDims:0": input_batch},
+            return_elements=["pool_3:0", "mixed_6/conv:0"],
+            name="fid",
+        )
+        spatial_t = spatial_t[..., :7]
+        with tf.Session(graph=run_graph) as sess:
+            pool3, spatial = [], []
+            for i in range(0, len(images), 32):
+                p, s = sess.run([pool3_t, spatial_t],
+                                {input_batch:
+                                 images[i:i + 32].astype(np.float32)})
+                pool3.append(p.reshape(p.shape[0], -1))
+                spatial.append(s.reshape(s.shape[0], -1))
+    pool3 = np.concatenate(pool3)
+    spatial = np.concatenate(spatial)
+    logits = pool3 @ logits_kernel
+    softmax = np.exp(logits - logits.max(-1, keepdims=True))
+    softmax /= softmax.sum(-1, keepdims=True)
+    return pool3, spatial, softmax
+
+
+def _reference_frechet(a1, a2, eps=1e-6):
+    """Inline copy of the canonical TTUR/OpenAI FID math
+    (/root/reference/utils/evaluator.py:39-82,125-131), independent of
+    the repo's FIDStatistics so the two stacks share no code."""
+    from scipy import linalg
+
+    mu1, mu2 = a1.mean(0), a2.mean(0)
+    s1 = np.cov(a1, rowvar=False)
+    s2 = np.cov(a2, rowvar=False)
+    diff = mu1 - mu2
+    covmean, _ = linalg.sqrtm(s1.dot(s2), disp=False)
+    if not np.isfinite(covmean).all():
+        offset = np.eye(s1.shape[0]) * eps
+        covmean = linalg.sqrtm((s1 + offset).dot(s2 + offset))
+    if np.iscomplexobj(covmean):
+        covmean = covmean.real
+    return float(diff.dot(diff) + np.trace(s1) + np.trace(s2)
+                 - 2 * np.trace(covmean))
+
+
+def _reference_is(softmax, split_size=5000):
+    """Split-KL IS (/root/reference/utils/evaluator.py:133-146)."""
+    scores = []
+    for i in range(0, len(softmax), split_size):
+        part = softmax[i:i + split_size]
+        kl = part * (np.log(part) - np.log(np.mean(part, 0, keepdims=True)))
+        scores.append(np.exp(np.mean(np.sum(kl, 1))))
+    return float(np.mean(scores))
+
+
+def test_metrics_match_tf_graph_end_to_end(tmp_path):
+    """Metric-level cross-framework golden (VERDICT r3 item 2): FID,
+    sFID and IS computed end-to-end through the TF frozen-graph path
+    (sess.run activations -> inline reference numpy statistics) must
+    agree with the repo's Evaluator path (flax InceptionV3 ->
+    FIDStatistics / compute_inception_score) on the same image sets.
+    Covers the last untested seam between activations and published
+    numbers, on two distribution-distinct set pairs."""
+    from export_inception_weights import build_entries, read_tf_graph
+    from dddpm_tpu.data.datasets import make_synthetic
+    from dddpm_tpu.evaluation.evaluator import Evaluator
+
+    rng = np.random.RandomState(11)
+    graph_def, _ = _build_graph(rng)
+    pb = str(tmp_path / "synthetic_inception.pb")
+    with open(pb, "wb") as f:
+        f.write(graph_def.SerializeToString())
+    tf_convs, logits_kernel = read_tf_graph(pb)
+    npz = str(tmp_path / "weights.npz")
+    np.savez(npz, **build_entries(tf_convs, logits_kernel))
+
+    n = 64
+    set_a, _ = make_synthetic(32, 3, n=n, seed=0)        # "reference"
+    set_b, _ = make_synthetic(32, 3, n=n, seed=1)        # same family
+    # a distribution-shifted set: inverted + darkened
+    set_c = (255 - make_synthetic(32, 3, n=n, seed=2)[0]) // 2
+    set_c = set_c.astype(np.uint8)
+
+    evaluator = Evaluator(weights_npz=npz, batch_size=32)
+
+    for name, ref_set, sample_set in [("a-vs-b", set_a, set_b),
+                                      ("a-vs-c", set_a, set_c)]:
+        ours = evaluator.evaluate(ref_set, sample_set)
+
+        p_ref, s_ref, _ = _tf_activations(graph_def, logits_kernel, ref_set)
+        p_sam, s_sam, sm_sam = _tf_activations(graph_def, logits_kernel,
+                                               sample_set)
+        fid_tf = _reference_frechet(p_sam, p_ref)
+        sfid_tf = _reference_frechet(s_sam, s_ref)
+        is_tf = _reference_is(sm_sam)
+
+        assert abs(ours["fid"] - fid_tf) <= max(0.02 * abs(fid_tf), 0.05), (
+            name, ours["fid"], fid_tf)
+        assert abs(ours["sfid"] - sfid_tf) <= max(0.02 * abs(sfid_tf), 0.05), (
+            name, ours["sfid"], sfid_tf)
+        assert abs(ours["is"] - is_tf) <= max(0.01 * is_tf, 0.01), (
+            name, ours["is"], is_tf)
+
+    # sanity: identical sets -> FID ~ 0 through the repo path
+    same = evaluator.evaluate(set_a, set_a)
+    assert same["fid"] < 1e-3 and same["sfid"] < 1e-3
