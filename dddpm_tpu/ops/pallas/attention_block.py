@@ -55,6 +55,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 LN_EPS = 1e-5
+# A/B escape hatch for perf probes only (scripts/probe_attention_*):
+# disables pass B's in-place write-back so both variants can be timed
+# inside one process.  Production always runs aliased.
+import os as _os
+_DISABLE_ALIAS = _os.environ.get("DDDPM_ATTN_NO_ALIAS", "") == "1"
 # exp overflow guard; LN-bounded softmax logits never get near this.
 # 60 (not 80) so the UNSHIFTED f32 exp-sum also cannot overflow:
 # exp(60) ~= 1.1e26, leaving ~3e12 tokens of headroom under f32 max.
@@ -267,7 +272,7 @@ def _fused_forward(x, g, b, w_qkv, w_out, b_out, dim_head: int,
         in_specs=[x_spec, vec_spec(c), vec_spec(c), weff_spec, vec_spec(c)],
         out_specs=x_spec,
         out_shape=jax.ShapeDtypeStruct((bsz, n, c), x.dtype),
-        input_output_aliases={0: 0},
+        input_output_aliases={} if _DISABLE_ALIAS else {0: 0},
         interpret=interpret,
     )(x, g2, b2, w_eff, bo2)
 
