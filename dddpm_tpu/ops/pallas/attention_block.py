@@ -43,6 +43,13 @@ fusion saves there (measured in scripts/probe_attention_shapes.py).
 
 Gradients: jax.custom_vjp re-derives the backward pass from the
 identical pure-JAX computation.
+
+This two-pass shape is the measured practical ceiling on this chip:
+pass B runs at XLA's own elementwise r/w rate and pass A is MXU-bound
+at >= nominal peak for its payload; the single-dispatch redesigns
+(resident-output and phased-grid, kept below behind DDDPM_ATTN_ONE_PASS)
+both measured 37-51% slower despite 33% less HBM traffic.  Full bound
+table: BENCH_NOTES.md "Attention practical ceiling".
 """
 from __future__ import annotations
 
@@ -60,6 +67,12 @@ LN_EPS = 1e-5
 # inside one process.  Production always runs aliased.
 import os as _os
 _DISABLE_ALIAS = _os.environ.get("DDDPM_ATTN_NO_ALIAS", "") == "1"
+# Opt-in to the single-dispatch phased kernel (measured NEGATIVE result,
+# kept as proof apparatus: -37% at the 128^2 block despite 33% less HBM
+# traffic — per-grid-step overhead and the VMEM stash round-trip cost
+# more than the saved x re-read; see BENCH_NOTES "attention ceiling").
+# Probes flip the module global before tracing.
+_FORCE_ONE_PASS = _os.environ.get("DDDPM_ATTN_ONE_PASS", "") == "1"
 # exp overflow guard; LN-bounded softmax logits never get near this.
 # 60 (not 80) so the UNSHIFTED f32 exp-sum also cannot overflow:
 # exp(60) ~= 1.1e26, leaving ~3e12 tokens of headroom under f32 max.
@@ -187,6 +200,124 @@ def _out_kernel(x_ref, g_ref, b_ref, weff_ref, bo_ref, y_ref):
     y_ref[0] = (x.astype(jnp.float32) + y).astype(y_ref.dtype)
 
 
+def _block_kernel_1p(x_ref, g_ref, b_ref, wkv_ref, wq_ref, wout_ref,
+                     bo_ref, y_ref, s_scr, a_scr, xs_scr, weff_scr,
+                     *, dim_head):
+    """Single-dispatch fused block over a PHASED grid (bsz, 2, nt).
+
+    The two-pass design reads x from HBM twice (pass A for the ctx
+    accumulation, pass B for the token matmul): 1.2 GB of traffic at
+    the 128^2 c128 bs96 block.  Here both phases live in ONE kernel
+    and x tiles are stashed in a single-buffered VMEM scratch:
+
+      phase 0, tile j:  LN -> kv -> exp -> accumulate (A, s); stash the
+                        raw x tile into xs_scr[j] (VMEM copy).
+      phase 1, j == 0:  fold W_eff = Wq @ blockdiag(A/s) @ Wout
+                        in-register (small (C,C) matmuls).
+      phase 1, tile j:  y = x + LN(x) @ W_eff + b_out from the stashed
+                        tile — x is never re-read from HBM, and phase 1
+                        is write-only DMA.
+
+    Every grid step stays thin (one tile of work), so the pipeline's
+    one-step lookahead keeps DMA and compute overlapped — a resident
+    whole-sample output block with the fold in the last step was
+    measured 51% SLOWER (the fat final step serializes).  The index
+    maps pin x to tile nt-1 during phase 1 and y to tile 0 during
+    phase 0, so neither block refetches or flushes mid-sample.
+
+    HBM traffic: read x once + write y once = 804 MB at the 128^2
+    block (33% less than two-pass), one dispatch instead of two, and
+    no XLA round-trip for the W_eff fold."""
+    ph = pl.program_id(1)
+    j = pl.program_id(2)
+    nt = pl.num_programs(2)
+    mxu_dtype = x_ref.dtype
+    hidden = s_scr.shape[-1]
+
+    @pl.when((ph == 0) & (j == 0))
+    def _():
+        s_scr[:] = jnp.zeros_like(s_scr)
+        a_scr[:] = jnp.zeros_like(a_scr)
+
+    @pl.when(ph == 0)
+    def _():
+        x = x_ref[0]                                        # (TN, C)
+        ln = _layer_norm_mxu(x, g_ref[:], b_ref[:]).astype(mxu_dtype)
+        kv = jnp.dot(ln, wkv_ref[:], preferred_element_type=jnp.float32)
+        p = jnp.exp(jnp.minimum(kv[:, :hidden], K_CLAMP))
+        s_scr[:] += jnp.sum(p, axis=0, keepdims=True)
+        a_scr[:] += lax.dot_general(
+            p.astype(mxu_dtype), kv[:, hidden:].astype(mxu_dtype),
+            (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        xs_scr[j] = x
+
+    @pl.when((ph == 1) & (j == 0))
+    def _():
+        hd = a_scr.shape[0]
+        row = lax.broadcasted_iota(jnp.int32, (hd, hd), 0) // dim_head
+        col = lax.broadcasted_iota(jnp.int32, (hd, hd), 1) // dim_head
+        ctx = jnp.where(row == col, a_scr[:] / s_scr[:].T, 0.0)
+        weff_scr[:] = jnp.dot(
+            jnp.dot(wq_ref[:].astype(jnp.float32), ctx,
+                    preferred_element_type=jnp.float32),
+            wout_ref[:].astype(jnp.float32),
+            preferred_element_type=jnp.float32)
+
+    @pl.when(ph == 1)
+    def _():
+        xc = xs_scr[j]                                      # (TN, C)
+        lnc = _layer_norm_mxu(xc, g_ref[:], b_ref[:]).astype(mxu_dtype)
+        out = jnp.dot(lnc, weff_scr[:].astype(mxu_dtype),
+                      preferred_element_type=jnp.float32) + bo_ref[:]
+        y_ref[0] = (xc.astype(jnp.float32) + out).astype(y_ref.dtype)
+
+
+def _fused_forward_1pass(x, g, b, w_qkv, w_out, b_out, dim_head: int,
+                         interpret: bool):
+    bsz, n, c = x.shape
+    hidden = w_out.shape[0]
+    # smaller tiles than two-pass: the whole-sample x stash is VMEM-
+    # resident, so the per-tile temporaries must share the 16 MB
+    # scoped budget with it
+    tn = _pick_tile(n, 4096 if c <= 128 else 2048)
+    nt = n // tn
+
+    w_q, w_k, w_v = (w_qkv.reshape(c, 3, hidden)[:, i] for i in range(3))
+    w_kv = jnp.concatenate([w_k, w_v], axis=1)          # (C, 2*hidden)
+    g2, b2, bo2 = (t.reshape(1, -1) for t in (g, b, b_out))
+
+    # phase 1 pins x to the tile it already holds (no refetch, no
+    # dummy traffic); phase 0 pins y to block 0, which is first
+    # written at (ph=1, j=0) before its index ever changes
+    x_spec = pl.BlockSpec(
+        (1, tn, c), lambda i, ph, j: (i, (1 - ph) * j + ph * (nt - 1), 0),
+        memory_space=pltpu.VMEM)
+    y_spec = pl.BlockSpec((1, tn, c), lambda i, ph, j: (i, ph * j, 0),
+                          memory_space=pltpu.VMEM)
+    vec_spec = lambda d: pl.BlockSpec((1, d), lambda i, ph, j: (0, 0),
+                                      memory_space=pltpu.VMEM)
+    mat_spec = lambda r, s: pl.BlockSpec((r, s), lambda i, ph, j: (0, 0),
+                                         memory_space=pltpu.VMEM)
+
+    y = pl.pallas_call(
+        partial(_block_kernel_1p, dim_head=dim_head),
+        grid=(bsz, 2, nt),
+        in_specs=[x_spec, vec_spec(c), vec_spec(c),
+                  mat_spec(c, 2 * hidden), mat_spec(c, hidden),
+                  mat_spec(hidden, c), vec_spec(c)],
+        out_specs=y_spec,
+        out_shape=jax.ShapeDtypeStruct((bsz, n, c), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((1, hidden), jnp.float32),
+            pltpu.VMEM((hidden, hidden), jnp.float32),
+            pltpu.VMEM((nt, tn, c), x.dtype),
+            pltpu.VMEM((c, c), jnp.float32),
+        ],
+        interpret=interpret,
+    )(x, g2, b2, w_kv, w_q, w_out, bo2)
+    return y
+
+
 def _pick_tile(n: int, target: int = 4096) -> int:
     """Token-tile size: bigger tiles amortize per-grid-step overhead
     (the 128^2-latent block runs 2 x bsz x N/tile sequential grid
@@ -214,6 +345,9 @@ def _fused_forward(x, g, b, w_qkv, w_out, b_out, dim_head: int,
     bsz, n, c = x.shape
     if n <= XLA_PATH_MAX_TOKENS and not interpret:
         return _reference_impl(x, g, b, w_qkv, w_out, b_out, dim_head)
+    if _FORCE_ONE_PASS:
+        return _fused_forward_1pass(x, g, b, w_qkv, w_out, b_out,
+                                    dim_head, interpret)
     hidden = w_out.shape[0]
     tn = _pick_tile(n, 8192 if c <= 128 else 4096)
     nt = n // tn

@@ -192,3 +192,26 @@ def test_attention_small_n_takes_xla_path(monkeypatch):
     want = ab._reference_impl(x, g, b, w_qkv, w_out, b_out, 32)
     assert not called
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_attention_one_pass_kernel_matches_reference():
+    """The single-dispatch phased kernel (a measured perf NEGATIVE
+    result, kept as proof apparatus behind DDDPM_ATTN_ONE_PASS) must
+    stay numerically equivalent to _reference_impl, including the
+    multi-tile accumulate/emit phases and the in-kernel W_eff fold."""
+    from dddpm_tpu.ops.pallas import attention_block as ab
+
+    c, hidden = 128, 128
+    ks = jax.random.split(jax.random.PRNGKey(13), 6)
+    for n in (768, 8192):  # single-tile and multi-tile (nt=4 at t2048)
+        x = jax.random.normal(ks[0], (2, n, c))
+        g = jnp.ones(c) + 0.1 * jax.random.normal(ks[1], (c,))
+        b = 0.1 * jax.random.normal(ks[2], (c,))
+        w_qkv = jax.random.normal(ks[3], (c, 3 * hidden)) * 0.1
+        w_out = jax.random.normal(ks[4], (hidden, c)) * 0.1
+        b_out = 0.1 * jax.random.normal(ks[5], (c,))
+        want = ab._reference_impl(x, g, b, w_qkv, w_out, b_out, 32)
+        got = ab._fused_forward_1pass(x, g, b, w_qkv, w_out, b_out,
+                                      32, True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-5, atol=2e-5)
