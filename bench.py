@@ -53,6 +53,17 @@ def _enable_compile_cache():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
+def _auto_segments(batch_size: int) -> int:
+    """Split the 1000-step chain so no single device program exceeds
+    ~30 s: the axon tunnel kills programs in the 45-65 s range
+    (measured bisection, BENCH_NOTES r4) — the r3 'OOM at bs 112/128'
+    was actually this wall (AOT memory analysis shows only 2.7 GB HBM
+    at bs 128).  One rep costs ~0.58 s/img, segmentation is
+    bit-identical (see make_bulk_sampler)."""
+    est_rep_s = 0.58 * batch_size
+    return max(1, int(est_rep_s / 30) + 1)
+
+
 def run_sampling(batch_size: int):
     import jax
 
@@ -64,7 +75,10 @@ def run_sampling(batch_size: int):
     net, process, init_fn, config = build_model(_sample_config(batch_size))
     params = init_fn(jax.random.PRNGKey(0))
     mesh = create_mesh()
-    sampler = make_bulk_sampler(process, mesh, batch_size)
+    segments = int(os.environ.get("BENCH_SEGMENTS", "0")) or _auto_segments(
+        batch_size)
+    sampler = make_bulk_sampler(process, mesh, batch_size,
+                                chain_segments=segments)
 
     # TPU hardware RNG for per-step sampling noise (threefry costs
     # ~0.25 ms/step more at bs 96; same N(0,1) distribution)

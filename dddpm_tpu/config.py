@@ -66,10 +66,13 @@ CONFIG_TPU: Dict = {
     "seed": 0,
     "use_pallas_attention": "auto",  # auto | True | False (pinned by build_model)
     # Fused resampler ConvResBlock Pallas kernel (ops/pallas/convres.py).
-    # Default OFF: it beats XLA per-block in isolation (25% on the 256^2
-    # grad) but LOSES at the whole-resampler level — XLA's cross-block
-    # fusion outweighs the lane-packing win (measured v5e, STATUS.md r3).
-    "use_pallas_resample": False,
+    # Default ON since r4: with the residual add and the 2x pool /
+    # upsample folded INTO the kernel (whole-block boundary), the x3
+    # 256^2 train step measures 254.7 ms vs 292.1 ms XLA (-12.8%,
+    # 219 -> 251 imgs/sec/chip, v5e bs32).  The r3 core-only kernel
+    # lost ~10% at the model level precisely because XLA's cross-block
+    # fusion (residual + pool + adjacent 1x1s) was left on the table.
+    "use_pallas_resample": True,
     "remat": False,               # rematerialize UNet ResnetBlocks under grad
     "fsdp": False,                # shard params/EMA/opt-state over the data axis
     "prefetch": 2,                # host batch-prep prefetch depth (0 = off)

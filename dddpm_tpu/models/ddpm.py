@@ -119,20 +119,31 @@ class GaussianDiffusion:
         )
         return mean + nonzero * jnp.exp(0.5 * log_variance) * eps
 
+    def p_sample_chain(self, params, rng, img, ts):
+        """Scan p_sample over an explicit (descending) t array.
+
+        The segmentable core of p_sample_loop: per-step noise is keyed
+        fold_in(rng, t), so running the chain as several consecutive
+        calls over slices of the same ts array (same post-split rng) is
+        BIT-IDENTICAL to one monolithic scan.  Segmentation exists
+        because the axon tunnel kills any single device program longer
+        than ~45-65 s wall-clock (measured bisection, BENCH_NOTES r4) —
+        the full 1000-step chain at bs > 96 crosses that wall."""
+        def step(img, t):
+            t_b = jnp.full((img.shape[0],), t, dtype=jnp.int32)
+            img = self.p_sample(params, jax.random.fold_in(rng, t), img, t_b)
+            return img, None
+
+        img, _ = lax.scan(step, img, ts)
+        return img
+
     def p_sample_loop(self, params, rng, shape, early_stop: Optional[int] = None):
         """Full reverse chain T-1..t_end as ONE lax.scan under jit."""
         t_end = 0 if early_stop is None else early_stop
         rng, init_rng = jax.random.split(rng)
         img = jax.random.normal(init_rng, shape, jnp.float32)
-
-        def step(img, t):
-            t_b = jnp.full((shape[0],), t, dtype=jnp.int32)
-            img = self.p_sample(params, jax.random.fold_in(rng, t), img, t_b)
-            return img, None
-
         ts = jnp.arange(self.timesteps - 1, t_end - 1, -1, dtype=jnp.int32)
-        img, _ = lax.scan(step, img, ts)
-        return img
+        return self.p_sample_chain(params, rng, img, ts)
 
     def sample(self, params, rng, batch_size: int = 16,
                early_stop: Optional[int] = None):

@@ -43,6 +43,7 @@ tests/test_convres_kernel.py (interpreter mode on CPU).
 from __future__ import annotations
 
 from functools import partial
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -208,9 +209,45 @@ def _wgrad_packed(dweff_ref, mflat, gc, nb, cstart, masks_c):
 # --------------------------------------------------------------- forward
 
 
+def _pool_matrices(cio, dtype):
+    """Lane-remap selection matrices for the in-kernel 2x2 mean pool.
+
+    Pe maps input block lanes (wi, c) to pooled lanes (wi//2, c) — the
+    contribution of an EVEN W-block (out positions 0,1); Po maps to
+    (2 + wi//2, c) — an ODD block (out positions 2,3).  Entries 0.25 =
+    the pool mean folded in (the H-pair sum supplies the other factor
+    of 2)."""
+    import numpy as _np
+    ci4 = PACK * cio
+    pe = _np.zeros((ci4, ci4), _np.float32)
+    po = _np.zeros((ci4, ci4), _np.float32)
+    eye = 0.25 * _np.eye(cio, dtype=_np.float32)
+    for wi in range(PACK):
+        s, do = wi * cio, (wi // 2) * cio
+        pe[s:s + cio, do:do + cio] = eye
+        po[s:s + cio, 2 * cio + do:3 * cio + do] = eye
+    return jnp.asarray(pe, dtype), jnp.asarray(po, dtype)
+
+
+def _upsample_matrices(cio, dtype):
+    """Lane-expand matrices for the in-kernel 2x nearest upsample:
+    E0 produces the EVEN output block (out position wi' <- in wi'//2),
+    E1 the ODD output block (out wi' <- in 2 + wi'//2)."""
+    import numpy as _np
+    ci4 = PACK * cio
+    e0 = _np.zeros((ci4, ci4), _np.float32)
+    e1 = _np.zeros((ci4, ci4), _np.float32)
+    eye = _np.eye(cio, dtype=_np.float32)
+    for wo in range(PACK):
+        d, s0, s1 = wo * cio, (wo // 2) * cio, (2 + wo // 2) * cio
+        e0[s0:s0 + cio, d:d + cio] = eye
+        e1[s1:s1 + cio, d:d + cio] = eye
+    return jnp.asarray(e0, dtype), jnp.asarray(e1, dtype)
+
+
 def _fwd_kernel(xp_ref, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
-                w4_ref, b4_ref, y_ref, xt, sem, *, th, h, nb, ci4,
-                residual):
+                w4_ref, b4_ref, sa_ref, sb_ref, y_ref, xt, sem, *, th, h,
+                nb, ci4, residual, scale):
     b = pl.program_id(0)
     j = pl.program_id(1)
 
@@ -249,7 +286,34 @@ def _fwd_kernel(xp_ref, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
           + b4_ref[:])
     if residual:
         p4 = p4 + flatc(x4, 2 * nb, rows3).astype(jnp.float32)
-    y_ref[0] = p4.reshape(th, nb, ci4).astype(y_ref.dtype)
+
+    if scale == "down":
+        # 2x2 mean pool in the packed layout: H pairs are contiguous
+        # nb-row groups of the flat value (a cheap sublane slice+add);
+        # W pairs are a lane remap done as two selection GEMMs whose
+        # outputs land in disjoint lane ranges, gathered by block parity
+        v = p4.reshape(th // 2, 2 * nb, ci4)
+        hsum = (v[:, :nb, :] + v[:, nb:, :]).astype(dt)
+        qe = jnp.dot(hsum.reshape((th // 2) * nb, ci4), sa_ref[:],
+                     preferred_element_type=jnp.float32)
+        qo = jnp.dot(hsum.reshape((th // 2) * nb, ci4), sb_ref[:],
+                     preferred_element_type=jnp.float32)
+        qe4 = qe.reshape(th // 2, nb // 2, 2, ci4)
+        qo4 = qo.reshape(th // 2, nb // 2, 2, ci4)
+        y_ref[0] = (qe4[:, :, 0] + qo4[:, :, 1]).astype(y_ref.dtype)
+    elif scale == "up":
+        # 2x nearest upsample: lane expand via two selection GEMMs
+        # (even / odd output blocks), interleave blocks, duplicate rows
+        vdt = p4.astype(dt)
+        ue = jnp.dot(vdt, sa_ref[:], preferred_element_type=jnp.float32)
+        uo = jnp.dot(vdt, sb_ref[:], preferred_element_type=jnp.float32)
+        z = jnp.concatenate(
+            [ue.reshape(th, nb, 1, ci4), uo.reshape(th, nb, 1, ci4)],
+            axis=2).reshape(th, 2 * nb, ci4)
+        z2 = jnp.broadcast_to(z[:, None], (th, 2, 2 * nb, ci4))
+        y_ref[0] = z2.reshape(2 * th, 2 * nb, ci4).astype(y_ref.dtype)
+    else:
+        y_ref[0] = p4.reshape(th, nb, ci4).astype(y_ref.dtype)
 
 
 def flatc(x3, start, rows):
@@ -259,7 +323,7 @@ def flatc(x3, start, rows):
 
 
 def _fused_forward(x, w1, b1, w2, b2, w3, b3, w4, b4, residual,
-                   interpret=False):
+                   interpret=False, scale=None):
     interpret = interpret or jax.default_backend() == "cpu"
     bsz, h, w, cio = x.shape
     cm = w1.shape[-1]
@@ -268,6 +332,28 @@ def _fused_forward(x, w1, b1, w2, b2, w3, b3, w4, b4, residual,
     ci4, cm4 = PACK * cio, PACK * cm
     th = min(16, h)
     assert h % th == 0, (h, th)
+    if scale == "down":
+        assert th % 2 == 0 and nb % 2 == 0, (th, nb)
+        out_block = (1, th // 2, nb // 2, ci4)
+        out_shape = (bsz, h // 2, nb // 2, ci4)
+        out_hw = (h // 2, w // 2)
+    elif scale == "up":
+        out_block = (1, 2 * th, 2 * nb, ci4)
+        out_shape = (bsz, 2 * h, 2 * nb, ci4)
+        out_hw = (2 * h, 2 * w)
+    else:
+        out_block = (1, th, nb, ci4)
+        out_shape = (bsz, h, nb, ci4)
+        out_hw = (h, w)
+    # lane-remap selection matrices for the in-kernel scaling GEMMs
+    # (pallas kernels cannot capture array constants); (1,1) dummies
+    # keep the kernel arity uniform when scale is None
+    if scale == "down":
+        smat_a, smat_b = _pool_matrices(cio, x.dtype)
+    elif scale == "up":
+        smat_a, smat_b = _upsample_matrices(cio, x.dtype)
+    else:
+        smat_a = smat_b = jnp.zeros((1, 1), x.dtype)
 
     # free contiguous view NHWC -> (H, W/4, 4C); manual HBM DMA slices
     # must be 128-lane aligned, so pad the packed lane dim if needed
@@ -284,16 +370,17 @@ def _fused_forward(x, w1, b1, w2, b2, w3, b3, w4, b4, residual,
 
     y = pl.pallas_call(
         partial(_fwd_kernel, th=th, h=h, nb=nb, ci4=ci4,
-                residual=residual),
+                residual=residual, scale=scale),
         grid=(bsz, h // th),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),   # xp, DMA'd manually
             mat(ci4, cm4), vec(cm4), mat(9 * cm4, cm4), vec(cm4),
             mat(9 * cm4, cm4), vec(cm4), mat(cm4, ci4), vec(ci4),
+            mat(*smat_a.shape), mat(*smat_b.shape),
         ],
-        out_specs=pl.BlockSpec((1, th, nb, ci4), lambda b, j: (b, j, 0, 0),
+        out_specs=pl.BlockSpec(out_block, lambda b, j: (b, j, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((bsz, h, nb, ci4), x.dtype),
+        out_shape=jax.ShapeDtypeStruct(out_shape, x.dtype),
         scratch_shapes=[
             pltpu.VMEM((1, th + 4, nb, cl), x.dtype),
             pltpu.SemaphoreType.DMA,
@@ -309,8 +396,9 @@ def _fused_forward(x, w1, b1, w2, b2, w3, b3, w4, b4, residual,
       _pack_3x3(w3).astype(dt),
       jnp.tile(b3, PACK).reshape(1, cm4).astype(jnp.float32),
       _pack_1x1(w4.reshape(cm, cio)).astype(dt),
-      jnp.tile(b4, PACK).reshape(1, ci4).astype(jnp.float32))
-    return y.reshape(bsz, h, w, cio)
+      jnp.tile(b4, PACK).reshape(1, ci4).astype(jnp.float32),
+      smat_a, smat_b)
+    return y.reshape(bsz, *out_hw, cio)
 
 
 # -------------------------------------------------------------- backward
@@ -504,7 +592,38 @@ def _fused_backward(x, w1, b1, w2, b2, w3, b3, w4, b4, dy, residual,
 # ------------------------------------------------------------ public op
 
 
-def _reference_impl(x, w1, b1, w2, b2, w3, b3, w4, b4, residual):
+def _scale_ref(out, scale, dtype):
+    """The ConvResBlock scaling ops in their reference form
+    (models/resample.py): reshape-mean pool / broadcast upsample."""
+    if scale == "down":
+        b, hh, ww, c = out.shape
+        out = out.reshape(b, hh // 2, 2, ww // 2, 2, c)
+        return (out.sum(axis=(2, 4)) * 0.25).astype(dtype)
+    if scale == "up":
+        b, hh, ww, c = out.shape
+        out = jnp.broadcast_to(out[:, :, None, :, None, :],
+                               (b, hh, 2, ww, 2, c))
+        return out.reshape(b, hh * 2, ww * 2, c)
+    return out
+
+
+def _unscale_grad(dy, scale):
+    """VJP of _scale_ref: down-pool -> 2x2 broadcast x0.25;
+    up-broadcast -> 2x2 window sum."""
+    if scale == "down":
+        b, hh, ww, c = dy.shape
+        g = jnp.broadcast_to(dy[:, :, None, :, None, :] * 0.25,
+                             (b, hh, 2, ww, 2, c))
+        return g.reshape(b, hh * 2, ww * 2, c)
+    if scale == "up":
+        b, hh, ww, c = dy.shape
+        g = dy.reshape(b, hh // 2, 2, ww // 2, 2, c)
+        return g.sum(axis=(2, 4))
+    return dy
+
+
+def _reference_impl(x, w1, b1, w2, b2, w3, b3, w4, b4, residual,
+                    scale=None):
     """Pure-JAX reference: exactly ConvResBlock's conv core
     (models/resample.py), used for tests and as the numeric spec."""
     dt = x.dtype
@@ -525,32 +644,43 @@ def _reference_impl(x, w1, b1, w2, b2, w3, b3, w4, b4, residual):
     h = conv(m(h), w3, b3, 1)
     h = conv(m(h), w4.reshape(1, 1, *w4.shape[-2:]) if w4.ndim == 2 else w4,
              b4, 0)
-    return x + h if residual else h
+    out = x + h if residual else h
+    return _scale_ref(out, scale, dt)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(9, 10))
+@partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11))
 def fused_convres_block(x, w1, b1, w2, b2, w3, b3, w4, b4,
-                        residual: bool = True, interpret: bool = False):
+                        residual: bool = True, interpret: bool = False,
+                        scale: Optional[str] = None):
     """Fused ConvResBlock conv core (lane-packed Pallas kernels).
 
     x: (B, H, W, cio); w1: (1,1,cio,cm); w2, w3: (3,3,cm,cm);
     w4: (1,1,cm,cio); biases 1-D.  Returns mish-conv bottleneck output
-    (+ x when residual).  Up/down scaling and dropout stay outside.
+    (+ x when residual), optionally 2x scaled IN-KERNEL: scale='down'
+    applies the reshape-mean 2x2 pool, scale='up' the broadcast
+    nearest upsample (reference models/downsampled/convblocks.py:92-159
+    composes these around the block; here the whole block+residual+
+    scale is one kernel so XLA has no cross-seam fusion left to win).
+    Dropout (when active) must stay outside — use scale=None then.
+    Backward: the scaling VJP (cheap XLA broadcast/window-sum on dy)
+    feeds the existing fused backward kernel.
     Requires W % 4 == 0; on real TPUs the packed lane widths 4*cio and
     4*cm should be multiples of 128 for full efficiency.
     """
     return _fused_forward(x, w1, b1, w2, b2, w3, b3, w4, b4,
-                          residual, interpret)
+                          residual, interpret, scale)
 
 
-def _vjp_fwd(x, w1, b1, w2, b2, w3, b3, w4, b4, residual, interpret):
+def _vjp_fwd(x, w1, b1, w2, b2, w3, b3, w4, b4, residual, interpret,
+             scale):
     out = _fused_forward(x, w1, b1, w2, b2, w3, b3, w4, b4,
-                         residual, interpret)
+                         residual, interpret, scale)
     return out, (x, w1, b1, w2, b2, w3, b3, w4, b4)
 
 
-def _vjp_bwd(residual, interpret, res, dy):
+def _vjp_bwd(residual, interpret, scale, res, dy):
     x, w1, b1, w2, b2, w3, b3, w4, b4 = res
+    dy = _unscale_grad(dy, scale)
     (dx, dw1, db1, dw2, db2, dw3, db3, dw4, db4) = _fused_backward(
         x, w1, b1, w2, b2, w3, b3, w4, b4, dy, residual, interpret)
     return dx, dw1, db1, dw2, db2, dw3, db3, dw4, db4

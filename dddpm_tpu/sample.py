@@ -15,6 +15,7 @@ from typing import Callable, Dict, Optional, Tuple
 
 import numpy as np
 import jax
+import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from dddpm_tpu.models.dddpm import DownsampleDiffusion
@@ -30,22 +31,65 @@ def fix_samples(samples) -> np.ndarray:
 def make_bulk_sampler(process, mesh: Mesh, batch_size: int,
                       early_stop: Optional[int] = None,
                       ddim_steps: Optional[int] = None,
-                      ddim_eta: float = 0.0) -> Callable:
+                      ddim_eta: float = 0.0,
+                      chain_segments: int = 1) -> Callable:
     """Jitted sampler with the output batch sharded over the mesh.
 
     ddim_steps selects the strided DDIM sampler instead of the full
     ancestral chain.
+
+    chain_segments > 1 splits the ancestral reverse chain into that
+    many consecutive jitted scans (one compiled program reused with a
+    different ts operand — ts is a traced scan input, so segments share
+    one executable).  BIT-IDENTICAL to the monolithic chain: per-step
+    noise is keyed fold_in(rng, t) off one post-split rng either way.
+    Needed on axon because the tunnel kills any single device program
+    over ~45-65 s wall-clock (measured, BENCH_NOTES r4) — the 1000-step
+    chain at bs > 96 crosses it; segments of <= ~500 steps do not.
     """
     sharding = NamedSharding(mesh, P("data"))
     is_downsampled = isinstance(process, DownsampleDiffusion)
     out_sh = (sharding, sharding) if is_downsampled else sharding
 
+    if chain_segments <= 1 or ddim_steps is not None:
+        @partial(jax.jit, out_shardings=out_sh)
+        def sampler(params, rng):
+            if ddim_steps is not None:
+                return process.ddim_sample(params, rng, batch_size,
+                                           ddim_steps, ddim_eta)
+            return process.sample(params, rng, batch_size, early_stop)
+
+        return sampler
+
+    t_end = 0 if early_stop is None else early_stop
+    ts_full = np.arange(process.timesteps - 1, t_end - 1, -1,
+                        dtype=np.int32)
+    bounds = np.linspace(0, len(ts_full), chain_segments + 1).astype(int)
+    ts_segments = [ts_full[a:b] for a, b in zip(bounds[:-1], bounds[1:])
+                   if b > a]
+
+    @partial(jax.jit, out_shardings=sharding)
+    def init_latent(rng):
+        init_rng = jax.random.split(rng)[1]
+        return jax.random.normal(
+            init_rng, (batch_size, *process.sample_shape), jnp.float32)
+
+    @partial(jax.jit, out_shardings=sharding, donate_argnums=2)
+    def run_segment(params, rng, img, ts):
+        chain_rng = jax.random.split(rng)[0]
+        return process.p_sample_chain(params, chain_rng, img, ts)
+
     @partial(jax.jit, out_shardings=out_sh)
+    def finalize(params, z):
+        if is_downsampled:
+            return process.rescaled_upsample(params, z), z
+        return z
+
     def sampler(params, rng):
-        if ddim_steps is not None:
-            return process.ddim_sample(params, rng, batch_size,
-                                       ddim_steps, ddim_eta)
-        return process.sample(params, rng, batch_size, early_stop)
+        img = init_latent(rng)
+        for ts in ts_segments:
+            img = run_segment(params, rng, img, jnp.asarray(ts))
+        return finalize(params, img)
 
     return sampler
 
@@ -61,6 +105,7 @@ def generate_samples(
     ddim_steps: Optional[int] = None,
     ddim_eta: float = 0.0,
     progress: bool = True,
+    chain_segments: int = 1,
 ) -> Tuple[np.ndarray, Optional[np.ndarray], Dict[str, float]]:
     """Generate >= fid_samples images; returns (samples, latents, timing).
 
@@ -68,7 +113,7 @@ def generate_samples(
     byte-compatible with the reference's npy sample batches.
     """
     sampler = make_bulk_sampler(process, mesh, batch_size, early_stop,
-                                ddim_steps, ddim_eta)
+                                ddim_steps, ddim_eta, chain_segments)
     is_downsampled = isinstance(process, DownsampleDiffusion)
     n_batches = int(np.ceil(fid_samples / batch_size))
 

@@ -39,6 +39,12 @@ def main():
                    help="use strided DDIM sampling with this many steps "
                         "instead of the full ancestral chain")
     p.add_argument("--ddim-eta", type=float, default=0.0)
+    p.add_argument("--chain-segments", type=int, default=1,
+                   help="split the ancestral chain into N consecutive "
+                        "jitted scans (bit-identical; use when one "
+                        "device program would exceed the runtime's "
+                        "wall-clock limit, e.g. axon kills programs "
+                        "over ~45-65 s)")
     p.add_argument("--prng-impl", default="threefry2x32",
                    choices=["rbg", "threefry2x32"],
                    help="PRNG for sampling noise. threefry (default) is "
@@ -76,7 +82,8 @@ def main():
     samples, latents, timing = generate_samples(
         process, params, mesh, rng,
         args.fid_samples, args.batch_size,
-        ddim_steps=args.ddim_steps, ddim_eta=args.ddim_eta)
+        ddim_steps=args.ddim_steps, ddim_eta=args.ddim_eta,
+        chain_segments=args.chain_segments)
 
     print(f"Using batch size {args.batch_size}")
     print(f"Total time: {timing['total_s']}")

@@ -36,6 +36,9 @@ def main():
     p.add_argument("--config", default="cifar", choices=list(CONFIGS))
     p.add_argument("--batch", type=int, default=32)
     p.add_argument("--iters", type=int, default=10)
+    p.add_argument("--pallas-resample", action="store_true",
+                   help="use the fused whole-ConvResBlock kernels for "
+                        "the resampler (A/B vs XLA)")
     args = p.parse_args()
 
     from dddpm_tpu.models.factory import build_model, get_color_channels
@@ -49,6 +52,8 @@ def main():
         "beta_schedule": "linear", "loss_flat": "sum",
         "compute_dtype": "bfloat16", "lr": 2e-4,
     })
+    if args.pallas_resample:
+        config["use_pallas_resample"] = True
     net, process, init_fn, config = build_model(config)
     tx = create_optimizer(config["lr"])
     state = create_train_state(config, init_fn, jax.random.PRNGKey(0), tx)

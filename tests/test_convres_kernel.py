@@ -164,3 +164,60 @@ def test_convresblock_gate_respects_shape_constraints():
                     dim=32)                     # cio != cout
     assert not gate((1, 128, 128, 24), in_channels=24, out_channels=24,
                     dim=32)                     # 4*cio not lane-aligned
+
+
+def test_convresblock_pallas_whole_block_scaling(monkeypatch):
+    """With dropout inactive, ConvResBlock(use_pallas=True) folds the
+    residual add AND the 2x pool/upsample INTO the kernel (VERDICT r3
+    item 5); outputs must match the reference block exactly, including
+    gradients through the scaling VJP."""
+    from dddpm_tpu.models import resample
+
+    monkeypatch.setattr(resample, "FUSED_MIN_PIXELS", 0)
+    x = jax.random.normal(jax.random.PRNGKey(2), (2, 32, 32, 32))
+    for mode in ({"downsample": True}, {"upsample": True}, {}):
+        kw = dict(dim=32, in_channels=32, out_channels=32, residual=True,
+                  **mode)
+        m_ref = resample.ConvResBlock(use_pallas=False, **kw)
+        m_pal = resample.ConvResBlock(use_pallas=True, **kw)
+        params = m_ref.init(jax.random.PRNGKey(1), x)
+        want = m_ref.apply(params, x)
+        got = m_pal.apply(params, x)
+        assert got.shape == want.shape, (mode, got.shape, want.shape)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-5, atol=2e-5,
+                                   err_msg=f"forward {mode}")
+
+        def loss(p, m):
+            return jnp.sum(m.apply(p, x) ** 2)
+
+        g_ref = jax.grad(loss)(params, m_ref)
+        g_pal = jax.grad(loss)(params, m_pal)
+
+        def check(path, a, b):
+            np.testing.assert_allclose(
+                np.asarray(b), np.asarray(a), rtol=2e-4, atol=2e-4,
+                err_msg=f"grad mismatch at {path} ({mode})")
+
+        jax.tree_util.tree_map_with_path(check, g_ref, g_pal)
+
+
+def test_convresblock_dropout_keeps_scaling_outside(monkeypatch):
+    """With ACTIVE dropout the kernel must not fold residual/scaling
+    (dropout sits between the conv core and the residual add): the
+    train-mode pallas block must equal the reference train-mode block
+    under the same dropout rng."""
+    from dddpm_tpu.models import resample
+
+    monkeypatch.setattr(resample, "FUSED_MIN_PIXELS", 0)
+    x = jax.random.normal(jax.random.PRNGKey(3), (2, 32, 32, 32))
+    kw = dict(dim=32, in_channels=32, out_channels=32, residual=True,
+              downsample=True, dropout=0.5)
+    m_ref = resample.ConvResBlock(use_pallas=False, **kw)
+    m_pal = resample.ConvResBlock(use_pallas=True, **kw)
+    params = m_ref.init(jax.random.PRNGKey(1), x)
+    rngs = {"dropout": jax.random.PRNGKey(9)}
+    want = m_ref.apply(params, x, False, rngs=rngs)
+    got = m_pal.apply(params, x, False, rngs=rngs)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)

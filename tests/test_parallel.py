@@ -222,3 +222,36 @@ print("OK", pid)
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"process {i} failed:\n{out}"
         assert f"OK {i}" in out
+
+
+def test_segmented_chain_bit_identical(devices):
+    """chain_segments > 1 must be BIT-IDENTICAL to the monolithic scan
+    (same post-split rng, per-step noise keyed fold_in(rng, t)), for
+    both the plain DDPM and the dDDPM (x, z) sampler."""
+    from dddpm_tpu.sample import make_bulk_sampler
+
+    mesh = create_mesh()
+
+    net, proc, init_fn, cfg = build_model(dict(CFG))
+    params = replicate(init_fn(jax.random.PRNGKey(0)), mesh)
+    rng = jax.random.PRNGKey(7)
+    mono = make_bulk_sampler(proc, mesh, 16)(params, rng)
+    for k in (2, 3):
+        seg = make_bulk_sampler(proc, mesh, 16, chain_segments=k)(
+            params, rng)
+        np.testing.assert_array_equal(np.asarray(seg), np.asarray(mono))
+
+    cfg = dict(CFG)
+    cfg.update({
+        "model": "dddpm", "image_size": 16, "n_downsamples": 1, "unet_in": 4,
+        "d_mode": "convolutional_res", "u_mode": "convolutional_res",
+        "d_dropout": 0, "d_chans": 8, "d_n_blocks": 2, "u_n_blocks": 2,
+        "ae_loss": True, "t_rec_max": 5, "force_latent": True,
+    })
+    net, proc, init_fn, cfg = build_model(cfg)
+    params = replicate(init_fn(jax.random.PRNGKey(0)), mesh)
+    x_m, z_m = make_bulk_sampler(proc, mesh, 8)(params, rng)
+    x_s, z_s = make_bulk_sampler(proc, mesh, 8, chain_segments=4)(
+        params, rng)
+    np.testing.assert_array_equal(np.asarray(z_s), np.asarray(z_m))
+    np.testing.assert_array_equal(np.asarray(x_s), np.asarray(x_m))
