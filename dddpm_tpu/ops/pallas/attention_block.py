@@ -73,6 +73,8 @@ _DISABLE_ALIAS = _os.environ.get("DDDPM_ATTN_NO_ALIAS", "") == "1"
 # more than the saved x re-read; see BENCH_NOTES "attention ceiling").
 # Probes flip the module global before tracing.
 _FORCE_ONE_PASS = _os.environ.get("DDDPM_ATTN_ONE_PASS", "") == "1"
+# probe hook: pin the batch-group size (None = the measured policy)
+_FORCE_GROUP = None
 # exp overflow guard; LN-bounded softmax logits never get near this.
 # 60 (not 80) so the UNSHIFTED f32 exp-sum also cannot overflow:
 # exp(60) ~= 1.1e26, leaving ~3e12 tokens of headroom under f32 max.
@@ -144,7 +146,7 @@ def _reference_impl(x, g, b, w_qkv, w_out, b_out, dim_head: int):
 
 
 def _ctx_kernel(x_ref, g_ref, b_ref, wkv_ref, ctx_ref,
-                s_scr, a_scr, *, dim_head):
+                s_scr, a_scr, *, dim_head, group):
     """Pass A: accumulate A += exp(k)^T v and s += sum exp(k) over token
     tiles; at the last tile emit ctx = blockdiag(A / s).
 
@@ -152,6 +154,13 @@ def _ctx_kernel(x_ref, g_ref, b_ref, wkv_ref, ctx_ref,
     inside the kernel it would run in the sequential per-batch grid
     tail (~tens of us x batch), measurably slower than a batched XLA
     matmul over all batch elements at once.
+
+    group > 1 processes G batch elements per grid step (only used when
+    the whole sample is one token tile): LN + the kv matmul + exp run
+    batched over the flattened (G*TN, C) block; only the tiny per-
+    sample A-accumulation dots unroll.  This amortizes per-grid-step
+    overhead, which dominates small-N blocks (96 one-tile steps at
+    32^2: 0.85 ms isolated vs ~0.5 floor).
     """
     j = pl.program_id(1)
     nt = pl.num_programs(1)
@@ -160,14 +169,16 @@ def _ctx_kernel(x_ref, g_ref, b_ref, wkv_ref, ctx_ref,
     # matmul costs multiple passes); f32 inputs stay exact.
     mxu_dtype = x_ref.dtype
     hidden = s_scr.shape[-1]
+    tn = x_ref.shape[1]
 
     @pl.when(j == 0)
     def _():
         s_scr[:] = jnp.zeros_like(s_scr)
         a_scr[:] = jnp.zeros_like(a_scr)
 
-    ln = _layer_norm_mxu(x_ref[0], g_ref[:], b_ref[:])      # (TN, C) f32
-    ln = ln.astype(x_ref.dtype)
+    xf = x_ref[...].reshape(group * tn, x_ref.shape[-1])
+    ln = _layer_norm_mxu(xf, g_ref[:], b_ref[:])        # (G*TN, C) f32
+    ln = ln.astype(mxu_dtype)
     # one (C -> 2*hidden) matmul: wider MXU N-dim than separate k/v
     kv = jnp.dot(ln, wkv_ref[:], preferred_element_type=jnp.float32)
     # exp is computed in f32; p is then rounded to the MXU operand dtype
@@ -175,29 +186,42 @@ def _ctx_kernel(x_ref, g_ref, b_ref, wkv_ref, ctx_ref,
     # while the denominator s stays f32 (benched loss-neutral: 1.7077 vs
     # 1.7075 imgs/s against an all-bf16 exp)
     p = jnp.exp(jnp.minimum(kv[:, :hidden], K_CLAMP))
-    s_scr[:] += jnp.sum(p, axis=0, keepdims=True)
-    a_scr[:] += lax.dot_general(
-        p.astype(mxu_dtype), kv[:, hidden:].astype(mxu_dtype),
-        (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    pm = p.astype(mxu_dtype)
+    vm = kv[:, hidden:].astype(mxu_dtype)
+    for gi in range(group):
+        sl = slice(gi * tn, (gi + 1) * tn)
+        s_scr[gi:gi + 1] += jnp.sum(p[sl], axis=0, keepdims=True)
+        a_scr[gi * hidden:(gi + 1) * hidden] += lax.dot_general(
+            pm[sl], vm[sl],
+            (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
 
     @pl.when(j == nt - 1)
     def _():
-        hd = a_scr.shape[0]
+        hd = hidden
         row = lax.broadcasted_iota(jnp.int32, (hd, hd), 0) // dim_head
         col = lax.broadcasted_iota(jnp.int32, (hd, hd), 1) // dim_head
-        ctx = a_scr[:] / s_scr[:].T
-        ctx_ref[0] = jnp.where(row == col, ctx, 0.0)
+        mask = row == col
+        for gi in range(group):
+            a = a_scr[gi * hidden:(gi + 1) * hidden]
+            ctx = a / s_scr[gi:gi + 1].T
+            ctx_ref[gi] = jnp.where(mask, ctx, 0.0)
 
 
-def _out_kernel(x_ref, g_ref, b_ref, weff_ref, bo_ref, y_ref):
+def _out_kernel(x_ref, g_ref, b_ref, weff_ref, bo_ref, y_ref, *, group):
     """Pass B: y = x + LN(x) @ W_eff + b_out — ONE token matmul, since
     associativity collapses the q-projection, context application and
-    out-projection: ((ln@Wq) @ ctx) @ Wout == ln @ (Wq @ ctx @ Wout)."""
-    x = x_ref[0]
-    ln = _layer_norm_mxu(x, g_ref[:], b_ref[:]).astype(x.dtype)
-    y = jnp.dot(ln, weff_ref[0].astype(x.dtype),
-                preferred_element_type=jnp.float32) + bo_ref[:]
-    y_ref[0] = (x.astype(jnp.float32) + y).astype(y_ref.dtype)
+    out-projection: ((ln@Wq) @ ctx) @ Wout == ln @ (Wq @ ctx @ Wout).
+    group > 1: LN batches over the flattened block, the per-sample
+    W_eff token matmuls unroll."""
+    tn = x_ref.shape[1]
+    c = x_ref.shape[-1]
+    xf = x_ref[...].reshape(group * tn, c)
+    ln = _layer_norm_mxu(xf, g_ref[:], b_ref[:]).astype(x_ref.dtype)
+    for gi in range(group):
+        sl = slice(gi * tn, (gi + 1) * tn)
+        y = jnp.dot(ln[sl], weff_ref[gi].astype(x_ref.dtype),
+                    preferred_element_type=jnp.float32) + bo_ref[:]
+        y_ref[gi] = (xf[sl].astype(jnp.float32) + y).astype(y_ref.dtype)
 
 
 def _block_kernel_1p(x_ref, g_ref, b_ref, wkv_ref, wq_ref, wout_ref,
@@ -349,8 +373,20 @@ def _fused_forward(x, g, b, w_qkv, w_out, b_out, dim_head: int,
         return _fused_forward_1pass(x, g, b, w_qkv, w_out, b_out,
                                     dim_head, interpret)
     hidden = w_out.shape[0]
-    tn = _pick_tile(n, 8192 if c <= 128 else 4096)
+    target = 8192 if c <= 128 else 4096
+    tn = _pick_tile(n, target)
     nt = n // tn
+    # batch-group small single-tile blocks so each grid step carries up
+    # to 4096 tokens: per-grid-step overhead dominates tiny-N blocks.
+    # Measured (scripts/probe_attention_grouped.py, bs 96): 32^2 c256
+    # 0.622 -> 0.563 ms at g=4; at n=4096 grouping stops paying
+    # (64^2 c128: g1 1.090 vs g2 1.115), hence the 4096-token cap.
+    group = 1
+    if nt == 1:
+        group = max(gg for gg in (8, 4, 2, 1)
+                    if bsz % gg == 0 and gg * n <= 4096)
+    if _FORCE_GROUP is not None and bsz % _FORCE_GROUP == 0 and nt == 1:
+        group = _FORCE_GROUP    # probe hook (scripts/probe_attention_*)
 
     # qkv weight columns ordered (3, heads, d) -> q | k | v slabs
     w_q, w_k, w_v = (w_qkv.reshape(c, 3, hidden)[:, i] for i in range(3))
@@ -359,27 +395,28 @@ def _fused_forward(x, g, b, w_qkv, w_out, b_out, dim_head: int,
     # vectors ship as (1, C) — TPU block shapes want >= 2 dims
     g2, b2, bo2 = (t.reshape(1, -1) for t in (g, b, b_out))
 
-    x_spec = pl.BlockSpec((1, tn, c), lambda i, j: (i, j, 0),
+    x_spec = pl.BlockSpec((group, tn, c), lambda i, j: (i, j, 0),
                           memory_space=pltpu.VMEM)
     vec_spec = lambda d: pl.BlockSpec((1, d), lambda i, j: (0, 0),
                                       memory_space=pltpu.VMEM)
     mat_spec = lambda r, s: pl.BlockSpec((r, s), lambda i, j: (0, 0),
                                          memory_space=pltpu.VMEM)
-    ctx_spec = pl.BlockSpec((1, hidden, hidden), lambda i, j: (i, 0, 0),
+    ctx_spec = pl.BlockSpec((group, hidden, hidden),
+                            lambda i, j: (i, 0, 0),
                             memory_space=pltpu.VMEM)
-    weff_spec = pl.BlockSpec((1, c, c), lambda i, j: (i, 0, 0),
+    weff_spec = pl.BlockSpec((group, c, c), lambda i, j: (i, 0, 0),
                              memory_space=pltpu.VMEM)
 
     ctx = pl.pallas_call(
-        partial(_ctx_kernel, dim_head=dim_head),
-        grid=(bsz, nt),
+        partial(_ctx_kernel, dim_head=dim_head, group=group),
+        grid=(bsz // group, nt),
         in_specs=[x_spec, vec_spec(c), vec_spec(c),
                   mat_spec(c, 2 * hidden)],
         out_specs=ctx_spec,
         out_shape=jax.ShapeDtypeStruct((bsz, hidden, hidden), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((1, hidden), jnp.float32),
-            pltpu.VMEM((hidden, hidden), jnp.float32),
+            pltpu.VMEM((group, hidden), jnp.float32),
+            pltpu.VMEM((group * hidden, hidden), jnp.float32),
         ],
         interpret=interpret,
     )(x, g2, b2, w_kv)
@@ -401,8 +438,8 @@ def _fused_forward(x, g, b, w_qkv, w_out, b_out, dim_head: int,
     # XLA inserts the copy automatically, so this is sampling-path free
     # and training-path neutral.
     return pl.pallas_call(
-        _out_kernel,
-        grid=(bsz, nt),
+        partial(_out_kernel, group=group),
+        grid=(bsz // group, nt),
         in_specs=[x_spec, vec_spec(c), vec_spec(c), weff_spec, vec_spec(c)],
         out_specs=x_spec,
         out_shape=jax.ShapeDtypeStruct((bsz, n, c), x.dtype),
