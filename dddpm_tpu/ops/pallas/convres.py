@@ -52,6 +52,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 PACK = 4  # W-positions folded into the lane dim
+# image-row tile height (probe-tunable): 16 measured best at 256^2
+TH = 16
 
 
 def _mish(x):
@@ -330,7 +332,7 @@ def _fused_forward(x, w1, b1, w2, b2, w3, b3, w4, b4, residual,
     assert w % PACK == 0, (w, PACK)
     nb = w // PACK
     ci4, cm4 = PACK * cio, PACK * cm
-    th = min(16, h)
+    th = min(TH, h)
     assert h % th == 0, (h, th)
     if scale == "down":
         assert th % 2 == 0 and nb % 2 == 0, (th, nb)
@@ -510,7 +512,7 @@ def _fused_backward(x, w1, b1, w2, b2, w3, b3, w4, b4, dy, residual,
     assert w % PACK == 0, (w, PACK)
     nb = w // PACK
     ci4, cm4 = PACK * cio, PACK * cm
-    th = min(16, h)
+    th = min(TH, h)
 
     cl = -(-ci4 // 128) * 128
     xp = jnp.pad(x.reshape(bsz, h, nb, ci4),
