@@ -26,16 +26,20 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-REFERENCE_IMGS_PER_SEC = 192.0 / 97.0  # dDDPM x2 256^2, BASELINE.md
+# Published reference wall-clocks for 192-image 256^2 batches
+# (notebooks Sampling Time Visualizations, st_x2/x3/x4; BASELINE.md)
+REFERENCE_IMGS_PER_SEC = 192.0 / 97.0   # dDDPM x2 (the headline)
+REFERENCE_X3 = 192.0 / 28.0             # dDDPM x3
+REFERENCE_X4 = 192.0 / 14.0             # dDDPM x4
 
 
-def _sample_config(batch_size: int) -> dict:
+def _sample_config(batch_size: int, n_downsamples: int = 1) -> dict:
     return {
         "model": "dddpm", "dataset": "celeba_hq", "image_size": 256,
         "batch_size": batch_size, "T": 1000, "loss_type": "simple",
         "beta_schedule": "linear", "loss_flat": "sum",
         "unet_chan": 128, "unet_dims": (1, 2, 2, 2), "unet_dropout": 0.1,
-        "unet_in": 8, "n_downsamples": 1,
+        "unet_in": 8, "n_downsamples": n_downsamples,
         "d_mode": "convolutional_res", "u_mode": "convolutional_res",
         "d_dropout": 0, "d_chans": 64, "d_n_blocks": 3, "u_n_blocks": 3,
         "ae_loss": True, "t_rec_max": 100, "force_latent": True,
@@ -53,18 +57,20 @@ def _enable_compile_cache():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
-def _auto_segments(batch_size: int) -> int:
+def _auto_segments(batch_size: int, n_downsamples: int = 1) -> int:
     """Split the 1000-step chain so no single device program exceeds
     ~30 s: the axon tunnel kills programs in the 45-65 s range
     (measured bisection, BENCH_NOTES r4) — the r3 'OOM at bs 112/128'
     was actually this wall (AOT memory analysis shows only 2.7 GB HBM
-    at bs 128).  One rep costs ~0.58 s/img, segmentation is
-    bit-identical (see make_bulk_sampler)."""
-    est_rep_s = 0.58 * batch_size
+    at bs 128).  Per-image chain cost is measured per latent size
+    (x2 128^2: 0.58 s; x3 32^2: 0.04 s; x4 16^2: 0.012 s);
+    segmentation is bit-identical (see make_bulk_sampler)."""
+    est_s_per_img = {1: 0.58, 3: 0.04, 4: 0.012}.get(n_downsamples, 0.58)
+    est_rep_s = est_s_per_img * batch_size
     return max(1, int(est_rep_s / 30) + 1)
 
 
-def run_sampling(batch_size: int):
+def run_sampling(batch_size: int, n_downsamples: int = 1):
     import jax
 
     _enable_compile_cache()
@@ -72,11 +78,12 @@ def run_sampling(batch_size: int):
     from dddpm_tpu.parallel.mesh import create_mesh
     from dddpm_tpu.sample import make_bulk_sampler
 
-    net, process, init_fn, config = build_model(_sample_config(batch_size))
+    net, process, init_fn, config = build_model(
+        _sample_config(batch_size, n_downsamples))
     params = init_fn(jax.random.PRNGKey(0))
     mesh = create_mesh()
     segments = int(os.environ.get("BENCH_SEGMENTS", "0")) or _auto_segments(
-        batch_size)
+        batch_size, n_downsamples)
     sampler = make_bulk_sampler(process, mesh, batch_size,
                                 chain_segments=segments)
 
@@ -127,8 +134,11 @@ def run_train(batch_size: int, iters: int = 8):
 
 
 def emit(mode: str, batch_size: int):
-    if mode == "--run":
-        reps, n_chips = run_sampling(batch_size)
+    if mode in ("--run", "--run-x3", "--run-x4"):
+        n_down = {"--run": 1, "--run-x3": 3, "--run-x4": 4}[mode]
+        ref = {"--run": REFERENCE_IMGS_PER_SEC, "--run-x3": REFERENCE_X3,
+               "--run-x4": REFERENCE_X4}[mode]
+        reps, n_chips = run_sampling(batch_size, n_down)
         per_chip = [r / n_chips for r in reps]
         # trimmed mean (drop min and max when >=4 reps): the tunnel
         # occasionally produces a single cold rep ~17% low; all raw
@@ -137,13 +147,14 @@ def emit(mode: str, batch_size: int):
                 else per_chip)
         value = sum(kept) / len(kept)
         spread = (max(kept) - min(kept)) / 2
+        xn = {1: "x2", 3: "x3", 4: "x4"}[n_down]
         print(json.dumps({
-            "metric": "dDDPM_x2_256px_sampling_imgs_per_sec_per_chip",
+            "metric": f"dDDPM_{xn}_256px_sampling_imgs_per_sec_per_chip",
             "value": round(value, 4),
             "unit": f"imgs/sec/chip (1000-step reverse chain, bs {batch_size}, "
                     f"bf16, fused attention; trimmed mean of {len(reps)} reps, "
                     f"±{spread:.4f})",
-            "vs_baseline": round(value / REFERENCE_IMGS_PER_SEC, 4),
+            "vs_baseline": round(value / ref, 4),
             "reps": [round(v, 4) for v in per_chip],
         }))
     else:
@@ -179,7 +190,8 @@ def _subprocess_attempts(mode: str, start_batch: int, min_batch: int = 4):
 
 
 def main():
-    if len(sys.argv) > 2 and sys.argv[1] in ("--run", "--train-run"):
+    if len(sys.argv) > 2 and sys.argv[1] in (
+            "--run", "--run-x3", "--run-x4", "--train-run"):
         emit(sys.argv[1], int(sys.argv[2]))
         return
 
@@ -191,6 +203,15 @@ def main():
         "--train-run", int(os.environ.get("BENCH_TRAIN_BATCH", "32")))
     if train is not None:
         sampling["train"] = train
+    # the reference's other two published sampling configs, at its own
+    # protocol batch (192): the x3/x4 latents (32^2/16^2) are where the
+    # chip's small-map throughput beats the A100 outright
+    for mode, key in (("--run-x3", "x3_sampling"),
+                      ("--run-x4", "x4_sampling")):
+        rec = _subprocess_attempts(
+            mode, int(os.environ.get("BENCH_XN_BATCH", "192")))
+        if rec is not None:
+            sampling[key] = rec
     print(json.dumps(sampling))
 
 
