@@ -29,7 +29,11 @@ def main():
 
     b1 = np.load(args.batch1, mmap_mode="r")
     b2 = np.load(args.batch2, mmap_mode="r")
-    evaluator = Evaluator(args.inception_weights)
+    import jax
+
+    from dddpm_tpu.parallel.mesh import create_mesh
+    mesh = create_mesh() if len(jax.devices()) > 1 else None
+    evaluator = Evaluator(args.inception_weights, mesh=mesh)
     metrics = evaluator.evaluate(b1, b2,
                                  prec_recall_subset=args.prec_recall_subset)
     print(json.dumps(metrics, indent=2))

@@ -33,8 +33,12 @@ def flatten_batches(arr: np.ndarray) -> np.ndarray:
 class Evaluator:
     """Computes all sample-quality metrics against a reference batch."""
 
-    def __init__(self, weights_npz: Optional[str] = None, batch_size: int = 64):
-        self.extractor = FeatureExtractor(weights_npz, batch_size)
+    def __init__(self, weights_npz: Optional[str] = None, batch_size: int = 64,
+                 mesh=None):
+        """mesh: optional 1-D 'data' device mesh — shards the Inception
+        activation pass across the slice (params replicated); the
+        statistics / Frechet / IS math downstream is unchanged."""
+        self.extractor = FeatureExtractor(weights_npz, batch_size, mesh=mesh)
 
     def read_activations(self, images) -> Dict[str, np.ndarray]:
         """images: array, or .npy/.npz path (streamed in bounded memory)."""

@@ -243,10 +243,22 @@ def tf1_resize_bilinear(x: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
 
 
 class FeatureExtractor:
-    """Jitted batched feature extraction from uint8 [0,255] NHWC images."""
+    """Jitted batched feature extraction from uint8 [0,255] NHWC images.
 
-    def __init__(self, weights_npz: Optional[str] = None, batch_size: int = 64):
+    With ``mesh`` (a 1-D 'data' mesh from parallel.create_mesh), the
+    image batch is sharded across devices and parameters replicated, so
+    the 50k-image activation pass of the FID protocol
+    (/root/reference/utils/evaluator.py:97-123) scales over a slice —
+    the reference's TF1 evaluator was single-GPU.  ``batch_size`` is
+    rounded up to a multiple of the mesh size (tail batches are
+    zero-padded to the fixed shape either way)."""
+
+    def __init__(self, weights_npz: Optional[str] = None, batch_size: int = 64,
+                 mesh=None):
         self.model = InceptionV3()
+        if mesh is not None:
+            n_dev = mesh.devices.size
+            batch_size = ((batch_size + n_dev - 1) // n_dev) * n_dev
         self.batch_size = batch_size
         rng = jax.random.PRNGKey(42)
         dummy = jnp.zeros((1, INCEPTION_SIZE, INCEPTION_SIZE, 3))
@@ -260,7 +272,6 @@ class FeatureExtractor:
             self.params = load_params_npz(weights_npz, self.params)
             self.has_real_weights = True
 
-        @jax.jit
         def _features(params, x_uint8):
             # Mirror the frozen graph's own preprocessing nodes, in graph
             # order (reference feeds raw float [0,255] at ExpandDims:0,
@@ -271,7 +282,16 @@ class FeatureExtractor:
             x = (x - 128.0) * 0.0078125
             return self.model.apply(params, x)
 
-        self._features = _features
+        if mesh is None:
+            self._features = jax.jit(_features)
+        else:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            replicated = NamedSharding(mesh, P())
+            sharded = NamedSharding(mesh, P("data"))
+            self.params = jax.device_put(self.params, replicated)
+            self._features = jax.jit(
+                _features, in_shardings=(replicated, sharded))
 
     def __call__(self, images) -> Dict[str, np.ndarray]:
         """images: (N, H, W, C) / (nb, B, H, W, C) float or uint8 in

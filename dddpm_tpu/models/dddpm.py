@@ -77,13 +77,26 @@ class DownsampleDiffusion(GaussianDiffusion):
     # ------------------------------------------------------------- sampling
 
     def sample(self, params, rng, batch_size: int = 16,
+               every: Optional[int] = None,
                early_stop: Optional[int] = None):
-        """Latent-space reverse chain, then one upsample to image space."""
-        z_sample = self.p_sample_loop(
-            params, rng, (batch_size, *self.sample_shape), early_stop
+        """Latent-space reverse chain, then one upsample to image space.
+
+        With `every=k`, returns (x_sample, z_sample, z_snapshots) where
+        z_snapshots stacks the LATENT chain state after each k reverse
+        steps (snapshots stay in z-space: decoding every intermediate
+        through the upsampler would multiply the output bytes by the
+        spatial factor for a visualization-only artifact)."""
+        if every is None:
+            z_sample = self.p_sample_loop(
+                params, rng, (batch_size, *self.sample_shape), early_stop
+            )
+            x_sample = self.rescaled_upsample(params, z_sample)
+            return x_sample, z_sample
+        z_sample, z_snapshots = self.p_sample_loop(
+            params, rng, (batch_size, *self.sample_shape), early_stop, every
         )
         x_sample = self.rescaled_upsample(params, z_sample)
-        return x_sample, z_sample
+        return x_sample, z_sample, z_snapshots
 
     def ddim_sample(self, params, rng, batch_size: int = 16,
                     num_steps: int = 50, eta: float = 0.0,

@@ -137,19 +137,54 @@ class GaussianDiffusion:
         img, _ = lax.scan(step, img, ts)
         return img
 
-    def p_sample_loop(self, params, rng, shape, early_stop: Optional[int] = None):
-        """Full reverse chain T-1..t_end as ONE lax.scan under jit."""
+    def p_sample_chain_snapshots(self, params, rng, img, ts, every: int):
+        """p_sample_chain that also returns the chain state after every
+        `every` steps (stacked along a leading axis, oldest first).
+
+        Because per-step noise is keyed fold_in(rng, t) (see
+        p_sample_chain), the final state is BIT-identical to the
+        snapshot-free chain over the same ts. A non-divisible remainder
+        is run first so snapshots land on the trailing (low-t) steps.
+        """
+        n = int(ts.shape[0])
+        rem = n % every
+        if rem:
+            img = self.p_sample_chain(params, rng, img, ts[:rem])
+        chunks = ts[rem:].reshape(-1, every)
+
+        def step(img, ts_chunk):
+            img = self.p_sample_chain(params, rng, img, ts_chunk)
+            return img, img
+
+        img, snapshots = lax.scan(step, img, chunks)
+        return img, snapshots
+
+    def p_sample_loop(self, params, rng, shape, early_stop: Optional[int] = None,
+                      every: Optional[int] = None):
+        """Full reverse chain T-1..t_end as ONE lax.scan under jit.
+
+        `every=k` additionally returns intermediate chain states after
+        each k steps — the reference's `sample(..., every)` argument
+        (/root/reference/models/diffusion/ddpm.py:230,251) accepted this
+        but never implemented it; here it is functional.
+        """
         t_end = 0 if early_stop is None else early_stop
         rng, init_rng = jax.random.split(rng)
         img = jax.random.normal(init_rng, shape, jnp.float32)
         ts = jnp.arange(self.timesteps - 1, t_end - 1, -1, dtype=jnp.int32)
-        return self.p_sample_chain(params, rng, img, ts)
+        if every is None:
+            return self.p_sample_chain(params, rng, img, ts)
+        return self.p_sample_chain_snapshots(params, rng, img, ts, every)
 
     def sample(self, params, rng, batch_size: int = 16,
+               every: Optional[int] = None,
                early_stop: Optional[int] = None):
-        """Sample a batch of images/latents from the model."""
+        """Sample a batch of images/latents from the model.
+
+        With `every=k` returns (final, snapshots) where snapshots stacks
+        the chain state after each k reverse steps."""
         return self.p_sample_loop(
-            params, rng, (batch_size, *self.sample_shape), early_stop
+            params, rng, (batch_size, *self.sample_shape), early_stop, every
         )
 
     def ddim_taus(self, num_steps: int, spacing: str = "linear"):

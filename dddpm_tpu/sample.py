@@ -57,7 +57,8 @@ def make_bulk_sampler(process, mesh: Mesh, batch_size: int,
             if ddim_steps is not None:
                 return process.ddim_sample(params, rng, batch_size,
                                            ddim_steps, ddim_eta)
-            return process.sample(params, rng, batch_size, early_stop)
+            return process.sample(params, rng, batch_size,
+                                  early_stop=early_stop)
 
         return sampler
 

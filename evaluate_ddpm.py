@@ -64,8 +64,11 @@ def main():
         metrics["L_simple"] = l_simple
 
     # paths stream in bounded memory (npy mmap / npz chunked decompress);
-    # 50k 256^2 sample files are ~10GB
-    evaluator = Evaluator(args.inception_weights)
+    # 50k 256^2 sample files are ~10GB.  On a multi-device slice the
+    # Inception activation pass batch-shards over a 1-D data mesh.
+    from dddpm_tpu.parallel.mesh import create_mesh
+    mesh = create_mesh() if len(jax.devices()) > 1 else None
+    evaluator = Evaluator(args.inception_weights, mesh=mesh)
     metrics.update(evaluator.evaluate(
         args.reference, args.samples,
         prec_recall_subset=args.prec_recall_subset))

@@ -248,3 +248,16 @@ def test_reshape_mean_pool_matches_avg_pool():
                                    np.asarray(want, np.float32),
                                    rtol=1e-2 if bf16 else 1e-6,
                                    atol=1e-2 if bf16 else 0)
+
+
+def test_dddpm_sample_every_latent_snapshots(dddpm):
+    """dDDPM sample(every=k) returns (x, z, z_snapshots) with snapshots
+    in latent space; x/z match the snapshot-free call bit-for-bit."""
+    _, proc, params = dddpm
+    rng = jax.random.PRNGKey(11)
+    x_p, z_p = proc.sample(params, rng, batch_size=2)
+    x, z, z_snaps = proc.sample(params, rng, batch_size=2, every=5)
+    np.testing.assert_array_equal(np.asarray(x), np.asarray(x_p))
+    np.testing.assert_array_equal(np.asarray(z), np.asarray(z_p))
+    assert z_snaps.shape[1:] == z.shape
+    np.testing.assert_array_equal(np.asarray(z_snaps[-1]), np.asarray(z))

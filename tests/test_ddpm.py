@@ -259,3 +259,23 @@ def test_ddim_tau_spacings(setup):
     out = proc.ddim_sample(params, jax.random.PRNGKey(40), batch_size=1,
                            num_steps=5, spacing="quad")
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_sample_every_snapshots(setup):
+    """`every=k` returns (final, snapshots); the final state is
+    BIT-identical to the snapshot-free chain (fold_in(rng, t) keying),
+    the last snapshot IS the final state, and a remainder chunk is
+    handled (T=20 with every=8 -> rem 4, then 2 chunks)."""
+    proc, params = setup
+    rng = jax.random.PRNGKey(7)
+    plain = proc.sample(params, rng, batch_size=2)
+    final, snaps = proc.sample(params, rng, batch_size=2, every=8)
+    assert snaps.shape == (2, 2, SIZE, SIZE, CH)
+    np.testing.assert_array_equal(np.asarray(final), np.asarray(plain))
+    np.testing.assert_array_equal(np.asarray(snaps[-1]), np.asarray(final))
+    assert np.abs(np.asarray(snaps[0]) - np.asarray(snaps[1])).max() > 1e-5
+
+    # divisible case: T=20, every=5 -> 4 snapshots, no remainder
+    final5, snaps5 = proc.sample(params, rng, batch_size=2, every=5)
+    assert snaps5.shape[0] == 4
+    np.testing.assert_array_equal(np.asarray(final5), np.asarray(plain))

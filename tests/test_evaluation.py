@@ -353,3 +353,20 @@ def test_exporter_roundtrip_synthetic_graph(tmp_path, extractor):
     shuffled = [tf_convs[5]] + tf_convs[1:5] + [tf_convs[0]] + tf_convs[6:]
     with pytest.raises(ValueError, match="shape mismatch"):
         build_entries(shuffled, lk)
+
+
+def test_extractor_mesh_sharded_matches_single(extractor):
+    """Mesh-sharded activation pass (8-device CPU mesh) returns the
+    same features as the single-device extractor; batch_size rounds up
+    to a mesh multiple."""
+    from dddpm_tpu.evaluation.inception import FeatureExtractor
+    from dddpm_tpu.parallel.mesh import create_mesh
+
+    mesh = create_mesh()
+    sharded = FeatureExtractor(batch_size=6, mesh=mesh)
+    assert sharded.batch_size % mesh.devices.size == 0
+    imgs = np.random.RandomState(9).randint(0, 255, (10, 16, 16, 3), np.uint8)
+    ref = extractor(imgs)
+    got = sharded(imgs)
+    for k in ref:
+        np.testing.assert_allclose(got[k], ref[k], rtol=2e-4, atol=2e-5)
