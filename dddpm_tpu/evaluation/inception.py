@@ -309,7 +309,11 @@ class FeatureExtractor:
             if n_real < bs:  # pad the tail so jit sees one batch shape
                 pad = np.zeros((bs - n_real,) + batch.shape[1:], batch.dtype)
                 batch = np.concatenate([batch, pad], axis=0)
-            res = self._features(self.params, jnp.asarray(batch))
+            # pass the numpy batch straight to jit: with in_shardings
+            # each device shard transfers host->device once (jnp.asarray
+            # would materialize the whole batch on device 0 first, then
+            # reshard device-to-device)
+            res = self._features(self.params, batch)
             for k in outs:
                 outs[k].append(np.asarray(res[k])[:n_real])
         return {k: np.concatenate(v) for k, v in outs.items()}

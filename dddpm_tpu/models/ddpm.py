@@ -147,6 +147,9 @@ class GaussianDiffusion:
         is run first so snapshots land on the trailing (low-t) steps.
         """
         n = int(ts.shape[0])
+        if every <= 0:
+            raise ValueError(f"every must be positive, got {every}")
+        every = min(every, n)  # every > chain length -> one snapshot
         rem = n % every
         if rem:
             img = self.p_sample_chain(params, rng, img, ts[:rem])

@@ -125,21 +125,30 @@ class ConvResBlock(nn.Module):
         it beats XLA at 256^2 (grad -25%) and 128^2 (grad -13%), ties at
         64^2 and loses at 32^2 — so it is gated to >= 128^2 maps where
         the per-call halo DMA and packing overheads amortize."""
+        # row-tile height must mirror the kernel's choice exactly
+        # (ops/pallas/convres.py uses th = min(TH, h) and asserts
+        # h % th == 0) — import TH so tuning the knob cannot
+        # desynchronize gate and kernel
+        from dddpm_tpu.ops.pallas.convres import TH
+
+        th = min(TH, hh)
         return (self.in_channels == self.out_channels
                 and (4 * self.in_channels) % 128 == 0
                 and (4 * self.dim) % 128 == 0
                 and ww % 4 == 0
-                and hh % min(16, hh) == 0
+                and hh % th == 0
                 and hh * ww >= FUSED_MIN_PIXELS)
 
     def _fused_eligible(self, x) -> bool:
+        from dddpm_tpu.ops.pallas.convres import TH
+
         _, hh, ww, _ = x.shape
         return (self.use_pallas
                 and not self.is_initializing()
                 and self._fused_shape_ok(hh, ww)
                 # the in-kernel 2x2 pool pairs W-blocks and H rows
                 and not (self.downsample
-                         and (ww % 8 or min(16, hh) % 2)))
+                         and (ww % 8 or min(TH, hh) % 2)))
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):

@@ -363,6 +363,18 @@ def _pick_tile(n: int, target: int = 4096) -> int:
 XLA_PATH_MAX_TOKENS = 512
 
 
+def _pick_group(bsz: int, n: int, nt: int) -> int:
+    """Batch-group factor for single-tile (nt == 1) blocks: the largest
+    of 8/4/2 that divides the batch and keeps <= 4096 tokens per grid
+    step.  default=1 covers both multi-tile blocks and single-tile
+    blocks already past the cap (e.g. 4096 < n <= 8192 at c <= 128,
+    where _pick_tile returns tn == n) — group=1 is the ungrouped grid."""
+    if nt != 1:
+        return 1
+    return max((gg for gg in (8, 4, 2)
+                if bsz % gg == 0 and gg * n <= 4096), default=1)
+
+
 def _fused_forward(x, g, b, w_qkv, w_out, b_out, dim_head: int,
                    interpret: bool = False):
     interpret = interpret or jax.default_backend() == "cpu"
@@ -381,10 +393,7 @@ def _fused_forward(x, g, b, w_qkv, w_out, b_out, dim_head: int,
     # Measured (scripts/probe_attention_grouped.py, bs 96): 32^2 c256
     # 0.622 -> 0.563 ms at g=4; at n=4096 grouping stops paying
     # (64^2 c128: g1 1.090 vs g2 1.115), hence the 4096-token cap.
-    group = 1
-    if nt == 1:
-        group = max(gg for gg in (8, 4, 2, 1)
-                    if bsz % gg == 0 and gg * n <= 4096)
+    group = _pick_group(bsz, n, nt)
     if _FORCE_GROUP is not None and bsz % _FORCE_GROUP == 0 and nt == 1:
         group = _FORCE_GROUP    # probe hook (scripts/probe_attention_*)
 

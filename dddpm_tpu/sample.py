@@ -65,9 +65,22 @@ def make_bulk_sampler(process, mesh: Mesh, batch_size: int,
     t_end = 0 if early_stop is None else early_stop
     ts_full = np.arange(process.timesteps - 1, t_end - 1, -1,
                         dtype=np.int32)
-    bounds = np.linspace(0, len(ts_full), chain_segments + 1).astype(int)
-    ts_segments = [ts_full[a:b] for a, b in zip(bounds[:-1], bounds[1:])
-                   if b > a]
+    # EQUAL segment lengths keep jit specialized on ONE ts shape, so all
+    # segments truly share a single compiled executable (the chain
+    # compile is minutes).  If chain_segments does not divide the chain,
+    # prefer the smallest divisor in [K, 2K] (more, shorter segments —
+    # still under the duration wall); only a pathological length (e.g.
+    # a prime early_stop remainder) falls back to unequal linspace
+    # bounds, which compiles exactly two shapes (len L and L+1).
+    n = len(ts_full)
+    k = next((kk for kk in range(chain_segments, 2 * chain_segments + 1)
+              if n % kk == 0), None)
+    if k is not None:
+        ts_segments = list(ts_full.reshape(k, n // k))
+    else:
+        bounds = np.linspace(0, n, chain_segments + 1).astype(int)
+        ts_segments = [ts_full[a:b] for a, b in zip(bounds[:-1], bounds[1:])
+                       if b > a]
 
     @partial(jax.jit, out_shardings=sharding)
     def init_latent(rng):

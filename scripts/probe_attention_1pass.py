@@ -15,27 +15,15 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_tpu_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+from _probe_util import setup_cache, timed_scan  # noqa: E402
+
+setup_cache()
 
 from dddpm_tpu.ops.pallas import attention_block as ab  # noqa: E402
 
 
 def timed(fn, args, scan_len=50):
-    @jax.jit
-    def chain(*a):
-        def body(c, _):
-            return fn(*((c,) + a[1:])), None
-        y, _ = lax.scan(body, a[0], None, length=scan_len)
-        return jnp.sum(y[..., :1].astype(jnp.float32))
-
-    _ = float(chain(*args))
-    best = np.inf
-    for _ in range(3):
-        t0 = time.perf_counter()
-        _ = float(chain(*args))
-        best = min(best, (time.perf_counter() - t0) / scan_len)
-    return best
+    return timed_scan(fn, args, scan_len)
 
 
 def main():

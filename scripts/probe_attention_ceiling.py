@@ -34,30 +34,16 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_tpu_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+from _probe_util import setup_cache, timed_scan  # noqa: E402
+
+setup_cache()
 
 from dddpm_tpu.ops.pallas.attention_block import (  # noqa: E402
     K_CLAMP, _layer_norm_mxu, _pick_tile, attention_block)
 
 
 def timed(fn, args, scan_len=50):
-    """Scan-inside-one-jit timing (the only truthful method through the
-    axon tunnel); fn's output must be carry-compatible with args[0]."""
-    @jax.jit
-    def chain(*a):
-        def body(c, _):
-            return fn(*((c,) + a[1:])), None
-        y, _ = lax.scan(body, a[0], None, length=scan_len)
-        return jnp.sum(y[..., :1].astype(jnp.float32))
-
-    _ = float(chain(*args))
-    best = np.inf
-    for _ in range(3):
-        t0 = time.perf_counter()
-        _ = float(chain(*args))
-        best = min(best, (time.perf_counter() - t0) / scan_len)
-    return best
+    return timed_scan(fn, args, scan_len)
 
 
 # ---------------------------------------------------------------- pass A

@@ -14,27 +14,15 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_tpu_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+from _probe_util import setup_cache, timed_scan  # noqa: E402
+
+setup_cache()
 
 from dddpm_tpu.ops.pallas import attention_block as ab  # noqa: E402
 
 
 def timed(fn, args, scan_len=100):
-    @jax.jit
-    def chain(*a):
-        def body(c, _):
-            return fn(*((c,) + a[1:])), None
-        y, _ = lax.scan(body, a[0], None, length=scan_len)
-        return jnp.sum(y[..., :1].astype(jnp.float32))
-
-    _ = float(chain(*args))
-    best = np.inf
-    for _ in range(3):
-        t0 = time.perf_counter()
-        _ = float(chain(*args))
-        best = min(best, (time.perf_counter() - t0) / scan_len)
-    return best
+    return timed_scan(fn, args, scan_len)
 
 
 def main():
@@ -58,12 +46,19 @@ def main():
 
         dt_xla = timed(lambda x: ab._reference_impl(
             x, g, b, wqkv, wout, bout, 32), (x,))
+        # bypass the N<=512 XLA short-circuit so the fused kernels are
+        # actually measured at 16^2 too (the short-circuit predates
+        # batch grouping; without this the "fused" columns would
+        # silently re-measure the XLA path there)
+        saved_cap = ab.XLA_PATH_MAX_TOKENS
+        ab.XLA_PATH_MAX_TOKENS = 0
         ab._FORCE_GROUP = 1
         dt_g1 = timed(lambda x: ab._fused_forward(
             x, g, b, wqkv, wout, bout, 32), (x,))
         ab._FORCE_GROUP = None
         dt_pol = timed(lambda x: ab._fused_forward(
             x, g, b, wqkv, wout, bout, 32) + 0.0, (x,))
+        ab.XLA_PATH_MAX_TOKENS = saved_cap
         target = 8192 if c <= 128 else 4096
         gg = max(g_ for g_ in (8, 4, 2, 1) if bs % g_ == 0
                  and g_ * n <= target) if n <= target else 1

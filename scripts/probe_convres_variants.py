@@ -25,8 +25,9 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_tpu_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+from _probe_util import setup_cache, timed_scan  # noqa: E402
+
+setup_cache()
 
 from dddpm_tpu.ops.pallas.convres import _mish  # noqa: E402
 
@@ -179,19 +180,8 @@ def make_fwd(mask_mode, conv_mode, mish_dtype, th_):
 
 
 def timed(fn, x, ws, scan_len=20):
-    def chain(x, *ws):
-        def body(c, _):
-            return fn(c, *ws).astype(c.dtype), None
-        y, _ = lax.scan(body, x, None, length=scan_len)
-        return jnp.sum(y.astype(jnp.float32))
-    chain = jax.jit(chain)
-    _ = float(chain(x, *ws))
-    best = np.inf
-    for _ in range(2):
-        t0 = time.perf_counter()
-        _ = float(chain(x, *ws))
-        best = min(best, (time.perf_counter() - t0) / scan_len)
-    return best
+    wrapped = lambda c, *ws: fn(c, *ws).astype(c.dtype)
+    return timed_scan(wrapped, (x, *ws), scan_len, reps=2)
 
 
 def main():

@@ -34,8 +34,9 @@ import numpy as np
 from flax import linen as nn
 from jax import lax
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_tpu_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+from _probe_util import setup_cache, timed_scan  # noqa: E402
+
+setup_cache()
 
 from dddpm_tpu.models.blocks import (  # noqa: E402
     Block, Downsample, PreNormLinearAttention, ResnetBlock, Upsample,
@@ -57,20 +58,8 @@ def conv_floor_ms(bs, h, taps_cin_cout):
 
 
 def timed(fn, params, x, t_emb, iters):
-    @jax.jit
-    def chain(p, x, t_emb):
-        def body(c, _):
-            return fn(p, c, t_emb), None
-        y, _ = lax.scan(body, x, None, length=iters)
-        return jnp.sum(y[..., :1].astype(jnp.float32))
-
-    _ = float(chain(params, x, t_emb))
-    best = np.inf
-    for _ in range(3):
-        t0 = time.perf_counter()
-        _ = float(chain(params, x, t_emb))
-        best = min(best, (time.perf_counter() - t0) / iters)
-    return best * 1e3
+    return timed_scan(lambda c, p, te: fn(p, c, te),
+                      (x, params, t_emb), iters) * 1e3
 
 
 class S128(nn.Module):

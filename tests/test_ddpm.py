@@ -279,3 +279,13 @@ def test_sample_every_snapshots(setup):
     final5, snaps5 = proc.sample(params, rng, batch_size=2, every=5)
     assert snaps5.shape[0] == 4
     np.testing.assert_array_equal(np.asarray(final5), np.asarray(plain))
+
+    # every > chain length clamps to one snapshot (== the final state);
+    # every <= 0 is rejected
+    final_big, snaps_big = proc.sample(params, rng, batch_size=2, every=999)
+    assert snaps_big.shape[0] == 1
+    np.testing.assert_array_equal(np.asarray(snaps_big[0]),
+                                  np.asarray(final_big))
+    np.testing.assert_array_equal(np.asarray(final_big), np.asarray(plain))
+    with pytest.raises(ValueError):
+        proc.sample(params, rng, batch_size=2, every=0)

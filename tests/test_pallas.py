@@ -166,6 +166,20 @@ def test_attention_tile_policy_by_channel_width():
     assert ab._pick_tile(1024, 8192) == 1024  # tile never exceeds n
 
 
+def test_attention_group_policy():
+    """Batch-group factor: largest of 8/4/2 dividing the batch with
+    group*n <= 4096 tokens per grid step; multi-tile blocks (nt > 1)
+    and batches with no even divisor stay ungrouped."""
+    from dddpm_tpu.ops.pallas import attention_block as ab
+
+    assert ab._pick_group(96, 256, 1) == 8    # 8*256 = 2048 <= 4096
+    assert ab._pick_group(96, 1024, 1) == 4   # 8 would exceed the cap
+    assert ab._pick_group(96, 4096, 1) == 1   # single tile already full
+    assert ab._pick_group(96, 256, 2) == 1    # multi-tile: ungrouped
+    assert ab._pick_group(7, 256, 1) == 1     # no divisor in {8,4,2}
+    assert ab._pick_group(4, 256, 1) == 4     # batch smaller than 8
+
+
 def test_attention_small_n_takes_xla_path(monkeypatch):
     """N <= XLA_PATH_MAX_TOKENS dispatches to the plain einsum path on
     accelerators (two pallas launches cost more than fusion saves at

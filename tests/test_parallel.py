@@ -241,6 +241,13 @@ def test_segmented_chain_bit_identical(devices):
             params, rng)
         np.testing.assert_array_equal(np.asarray(seg), np.asarray(mono))
 
+    # prime chain length (early_stop=3 -> n=7) has no divisor in
+    # [K, 2K]: exercises the unequal linspace-bounds fallback
+    mono7 = make_bulk_sampler(proc, mesh, 16, early_stop=3)(params, rng)
+    seg7 = make_bulk_sampler(proc, mesh, 16, early_stop=3,
+                             chain_segments=2)(params, rng)
+    np.testing.assert_array_equal(np.asarray(seg7), np.asarray(mono7))
+
     cfg = dict(CFG)
     cfg.update({
         "model": "dddpm", "image_size": 16, "n_downsamples": 1, "unet_in": 4,
