@@ -149,6 +149,8 @@ class GaussianDiffusion:
         n = int(ts.shape[0])
         if every <= 0:
             raise ValueError(f"every must be positive, got {every}")
+        if n == 0:  # empty chain (early_stop == T): no steps, no snapshots
+            return img, jnp.zeros((0,) + img.shape, img.dtype)
         every = min(every, n)  # every > chain length -> one snapshot
         rem = n % every
         if rem:

@@ -137,18 +137,15 @@ class ConvResBlock(nn.Module):
                 and (4 * self.dim) % 128 == 0
                 and ww % 4 == 0
                 and hh % th == 0
-                and hh * ww >= FUSED_MIN_PIXELS)
+                and hh * ww >= FUSED_MIN_PIXELS
+                # the in-kernel 2x2 pool pairs W-blocks and H rows
+                and not (self.downsample and (ww % 8 or th % 2)))
 
     def _fused_eligible(self, x) -> bool:
-        from dddpm_tpu.ops.pallas.convres import TH
-
         _, hh, ww, _ = x.shape
         return (self.use_pallas
                 and not self.is_initializing()
-                and self._fused_shape_ok(hh, ww)
-                # the in-kernel 2x2 pool pairs W-blocks and H rows
-                and not (self.downsample
-                         and (ww % 8 or min(TH, hh) % 2)))
+                and self._fused_shape_ok(hh, ww))
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):

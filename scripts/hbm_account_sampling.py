@@ -20,21 +20,14 @@ sys.path.insert(0, ".")
 def build_sampler(batch_size):
     import jax
 
+    from bench import _sample_config
     from dddpm_tpu.models.factory import build_model
     from dddpm_tpu.parallel.mesh import create_mesh
     from dddpm_tpu.sample import make_bulk_sampler
 
-    config = {
-        "model": "dddpm", "dataset": "celeba_hq", "image_size": 256,
-        "batch_size": batch_size, "T": 1000, "loss_type": "simple",
-        "beta_schedule": "linear", "loss_flat": "sum",
-        "unet_chan": 128, "unet_dims": (1, 2, 2, 2), "unet_dropout": 0.1,
-        "unet_in": 8, "n_downsamples": 1,
-        "d_mode": "convolutional_res", "u_mode": "convolutional_res",
-        "d_dropout": 0, "d_chans": 64, "d_n_blocks": 3, "u_n_blocks": 3,
-        "ae_loss": True, "t_rec_max": 100, "force_latent": True,
-        "compute_dtype": "bfloat16",
-    }
+    # the exact model bench.py benchmarks — imported, not copied, so a
+    # protocol change cannot desynchronize the accounting from the bench
+    config = _sample_config(batch_size)
     net, process, init_fn, config = build_model(config)
     params = jax.eval_shape(init_fn, jax.random.PRNGKey(0))
     mesh = create_mesh()

@@ -237,7 +237,15 @@ def main():
 
             def composed(x, fa=fa):
                 ctx = fa(x, g, b, w_kv)
-                weff = ctx[:, :c, :c].astype(x.dtype)
+                # fold to a (c, c) effective weight exactly as the
+                # production path does (attention_block._fused_forward);
+                # a few MFLOPs of XLA einsum, negligible vs the passes —
+                # and correct for c != hidden (a plain ctx slice would
+                # silently clamp at c > 128 and break the BlockSpec)
+                weff = jnp.einsum("ch,bhg,gf->bcf",
+                                  w_q.astype(jnp.float32),
+                                  ctx.astype(jnp.float32),
+                                  wout.astype(jnp.float32)).astype(x.dtype)
                 return b_noln(x, g, b, weff, bout)
 
             try:

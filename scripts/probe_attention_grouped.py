@@ -59,9 +59,10 @@ def main():
         dt_pol = timed(lambda x: ab._fused_forward(
             x, g, b, wqkv, wout, bout, 32) + 0.0, (x,))
         ab.XLA_PATH_MAX_TOKENS = saved_cap
+        # label with the production policy itself so the printed g can
+        # never drift from what the kernel actually ran
         target = 8192 if c <= 128 else 4096
-        gg = max(g_ for g_ in (8, 4, 2, 1) if bs % g_ == 0
-                 and g_ * n <= target) if n <= target else 1
+        gg = ab._pick_group(bs, n, n // ab._pick_tile(n, target))
         print(f"{h}x{w} c{c} bs{bs}: XLA {dt_xla*1e3:7.3f}  fused-g1 "
               f"{dt_g1*1e3:7.3f}  grouped(g={gg}) {dt_pol*1e3:7.3f} ms")
 

@@ -9,27 +9,20 @@ and the elementwise chain.
 """
 import argparse
 import sys
-import time
 
 sys.path.insert(0, ".")
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax import lax
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_tpu_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+from _probe_util import setup_cache, timed_call  # noqa: E402
+
+setup_cache()
 
 
 def timed(chain, args, iters):
-    _ = float(chain(*args))
-    best = np.inf
-    for _ in range(3):
-        t0 = time.perf_counter()
-        _ = float(chain(*args))
-        best = min(best, (time.perf_counter() - t0) / iters)
-    return best * 1e3
+    return timed_call(chain, args, n=iters) * 1e3
 
 
 def main():
@@ -39,19 +32,11 @@ def main():
     args = p.parse_args()
     bs, iters = args.bs, args.iters
 
+    from bench import _sample_config
     from dddpm_tpu.models.factory import build_model
 
-    config = {
-        "model": "dddpm", "dataset": "celeba_hq", "image_size": 256,
-        "batch_size": bs, "T": 1000, "loss_type": "simple",
-        "beta_schedule": "linear", "loss_flat": "sum",
-        "unet_chan": 128, "unet_dims": (1, 2, 2, 2), "unet_dropout": 0.1,
-        "unet_in": 8, "n_downsamples": 1,
-        "d_mode": "convolutional_res", "u_mode": "convolutional_res",
-        "d_dropout": 0, "d_chans": 64, "d_n_blocks": 3, "u_n_blocks": 3,
-        "ae_loss": True, "t_rec_max": 100, "force_latent": True,
-        "compute_dtype": "bfloat16",
-    }
+    # the exact model bench.py benchmarks — imported, not copied
+    config = _sample_config(bs)
     net, proc, init_fn, config = build_model(config)
     params = init_fn(jax.random.PRNGKey(0))
     z = jax.random.normal(jax.random.PRNGKey(1), (bs, 128, 128, 8),

@@ -289,3 +289,12 @@ def test_sample_every_snapshots(setup):
     np.testing.assert_array_equal(np.asarray(final_big), np.asarray(plain))
     with pytest.raises(ValueError):
         proc.sample(params, rng, batch_size=2, every=0)
+
+    # empty chain (early_stop == T): no steps, zero snapshots — and the
+    # final state matches the snapshot-free path (the initial noise)
+    f_e, s_e = proc.sample(params, rng, batch_size=2, every=5,
+                           early_stop=proc.timesteps)
+    assert s_e.shape[0] == 0
+    plain_e = proc.sample(params, rng, batch_size=2,
+                          early_stop=proc.timesteps)
+    np.testing.assert_array_equal(np.asarray(f_e), np.asarray(plain_e))
