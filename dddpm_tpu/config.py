@@ -76,6 +76,13 @@ CONFIG_TPU: Dict = {
     "remat": False,               # rematerialize UNet ResnetBlocks under grad
     "fsdp": False,                # shard params/EMA/opt-state over the data axis
     "prefetch": 2,                # host batch-prep prefetch depth (0 = off)
+    # Gather-compacted recon branch for the AE dDDPM variant: the
+    # t < t_rec_max gate zeroes ~90% of the batch's recon loss AND its
+    # resampler gradients (the only grads the resamplers get, since z is
+    # detached before the DDPM loss), so the resampler fwd+bwd runs on a
+    # static-capacity sub-batch of the masked samples with an exact
+    # lax.cond dense fallback on overflow (models/dddpm.py:recon_capacity).
+    "recon_compact": True,
 }
 
 

@@ -15,6 +15,7 @@ This is the whole 29-266x sampling speedup: T UNet evaluations run at
 """
 from __future__ import annotations
 
+import math
 from typing import Callable, Dict, Optional, Tuple
 
 import jax
@@ -24,6 +25,22 @@ from jax import lax
 from dddpm_tpu.models.ddpm import GaussianDiffusion
 from dddpm_tpu.models.schedule import DiffusionSchedule
 from dddpm_tpu.ops import math as dmath
+
+
+def recon_capacity(batch: int, p: float) -> int:
+    """Static sub-batch capacity for the gather-compacted recon branch.
+
+    The recon loss is zero (value AND gradient) wherever t >= t_rec_max
+    (reference dddpm.py:119), so on average only p = t_rec_max/T of a
+    batch feeds the resampler gradients.  Capacity = mean + 4 sd + 1,
+    rounded up to a multiple of 4 (sublane-friendly).  Overflow — a
+    ~3e-5/step event at the reference recipe (B=32, p=0.1, cap 12) —
+    falls back to the exact dense branch via lax.cond, so this bound is
+    a performance knob, never a correctness one.
+    """
+    cap = batch * p + 4.0 * math.sqrt(batch * p * (1.0 - p)) + 1.0
+    cap = int(math.ceil(cap / 4.0)) * 4
+    return min(batch, max(4, cap))
 
 
 class DownsampleDiffusion(GaussianDiffusion):
@@ -50,6 +67,7 @@ class DownsampleDiffusion(GaussianDiffusion):
         loss_flat: str = "sum",
         t_rec_max: int = 100,
         force_latent: bool = True,
+        recon_compact: bool = False,
     ):
         super().__init__(schedule, eps_fn, sample_shape, loss_type, loss_flat)
         self.down_fn = down_fn
@@ -57,6 +75,9 @@ class DownsampleDiffusion(GaussianDiffusion):
         self.x_shape = tuple(x_shape)
         self.t_rec_max = int(self.timesteps - 1) if t_rec_max == -1 else t_rec_max
         self.force_latent = force_latent
+        # gather-compacted recon branch (autoencoder variant only; see
+        # DownsampleDiffusionAutoencoder.losses)
+        self.recon_compact = recon_compact
 
     # ------------------------------------------------------------- resample
 
@@ -159,9 +180,66 @@ class DownsampleDiffusion(GaussianDiffusion):
 
 class DownsampleDiffusionAutoencoder(DownsampleDiffusion):
     """Default dDDPM variant: recon loss as a pure autoencoder pass,
-    z detached before the DDPM loss (reference dddpm.py:151-177)."""
+    z detached before the DDPM loss (reference dddpm.py:151-177).
+
+    With recon_compact=True the recon branch — the ONLY gradient source
+    for both resamplers, since z is detached before the DDPM loss — is
+    computed on a gather-compacted sub-batch of the t < t_rec_max
+    samples (capacity from `recon_capacity`), because the t-gate zeroes
+    ~90% of the batch's recon values and gradients at the reference
+    recipe (t_rec_max=100, T=1000).  The resampler forward+backward then
+    runs at capacity/B of the dense cost; the full-batch downsample that
+    feeds the (detached) DDPM loss stays forward-only.  A lax.cond
+    fallback to the dense branch keeps the objective exact when the
+    masked count overflows the capacity.
+    """
 
     def losses(self, params, rng, x, t, train: bool = True):
+        batch = x.shape[0]
+        cap = None
+        if self.recon_compact:
+            c = recon_capacity(batch, self.t_rec_max / self.timesteps)
+            if c < batch:
+                cap = c
+        if cap is None:
+            return self._losses_dense(params, rng, x, t, train)
+
+        # identical rng layout to the dense branch: the DDPM leg (eps /
+        # unet dropout) is bit-identical either way
+        rng_eps, rng_d, rng_u, rng_unet = jax.random.split(rng, 4)
+
+        mask = t < self.t_rec_max
+        # masked samples first, original order preserved (stable sort)
+        idx = jnp.argsort(jnp.where(mask, 0, 1), stable=True)[:cap]
+        count = jnp.sum(mask)
+
+        def _compact(_):
+            x_sub = jnp.take(x, idx, axis=0)
+            t_sub = jnp.take(t, idx, axis=0)
+            z_sub = self.rescaled_downsample(params, x_sub, rng_d, train)
+            l_sub = self.loss_recon(params, x_sub, z_sub, t_sub, rng_u, train)
+            # unmasked fill-ins (count < cap) have t_sub >= t_rec_max and
+            # are zeroed by loss_recon's gate; sum/B == dense mean
+            return jnp.sum(l_sub) / batch
+
+        def _dense(_):
+            z_full = self.rescaled_downsample(params, x, rng_d, train)
+            l_full = self.loss_recon(params, x, z_full, t, rng_u, train)
+            return jnp.sum(l_full) / batch
+
+        l_rec_mean = lax.cond(count <= cap, _compact, _dense, None)
+
+        # DDPM loss on detached latents: full-batch forward, no backward
+        z = lax.stop_gradient(self.rescaled_downsample(params, x, rng_d, train))
+        eps = jax.random.normal(rng_eps, z.shape, z.dtype)
+        z_t = self.q_sample(z, t, eps)
+        eps_hat = self.eps_fn(params, z_t, t, rng_unet, train)
+        l_ddpm = self.loss_ddpm(eps, eps_hat, t)
+
+        obj = l_ddpm + l_rec_mean
+        return obj, {"latent": l_ddpm, "recon": l_rec_mean}
+
+    def _losses_dense(self, params, rng, x, t, train: bool = True):
         rng_eps, rng_d, rng_u, rng_unet = jax.random.split(rng, 4)
         z = self.rescaled_downsample(params, x, rng_d, train)
 

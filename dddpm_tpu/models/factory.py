@@ -143,6 +143,13 @@ def build_model(config: dict):
             loss_flat=config["loss_flat"],
             t_rec_max=config["t_rec_max"],
             force_latent=config["force_latent"],
+            # compact recon branch: AE variant only (the non-AE variant's
+            # recon grads flow through the UNet, which needs the full
+            # batch anyway), and only with deterministic resamplers so
+            # the compact/dense branches agree exactly
+            recon_compact=(bool(config.get("recon_compact", True))
+                           and config["ae_loss"]
+                           and config.get("d_dropout", 0) == 0),
         )
 
         def init_fn(rng):

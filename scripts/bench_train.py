@@ -39,6 +39,9 @@ def main():
     p.add_argument("--pallas-resample", action="store_true",
                    help="use the fused whole-ConvResBlock kernels for "
                         "the resampler (A/B vs XLA)")
+    p.add_argument("--no-recon-compact", action="store_true",
+                   help="disable the gather-compacted recon branch "
+                        "(A/B vs the dense t-gated recon loss)")
     args = p.parse_args()
 
     from dddpm_tpu.models.factory import build_model, get_color_channels
@@ -54,6 +57,8 @@ def main():
     })
     if args.pallas_resample:
         config["use_pallas_resample"] = True
+    if args.no_recon_compact:
+        config["recon_compact"] = False
     net, process, init_fn, config = build_model(config)
     tx = create_optimizer(config["lr"])
     state = create_train_state(config, init_fn, jax.random.PRNGKey(0), tx)
