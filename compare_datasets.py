@@ -9,7 +9,7 @@ import json
 
 import numpy as np
 
-from dddpm_tpu.evaluation.evaluator import Evaluator
+from dddpm_tpu.evaluation.evaluator import Evaluator, require_inception_optin
 
 
 from dddpm_tpu.utils.platform import maybe_force_platform
@@ -25,7 +25,12 @@ def main():
     p.add_argument("--prec-recall-subset", type=int, default=None,
                    help="subsample the P/R manifold estimate to N features "
                         "(default: full set, matching the reference)")
+    p.add_argument("--allow-random-inception", action="store_true",
+                   help="compute FID/IS/P/R through a random-init Inception "
+                        "(machinery check only; numbers are NOT comparable)")
     args = p.parse_args()
+    require_inception_optin(args.inception_weights,
+                            args.allow_random_inception, "compare_datasets")
 
     b1 = np.load(args.batch1, mmap_mode="r")
     b2 = np.load(args.batch2, mmap_mode="r")

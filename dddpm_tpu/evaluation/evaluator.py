@@ -21,6 +21,36 @@ from dddpm_tpu.evaluation.inception import FeatureExtractor
 from dddpm_tpu.evaluation.prec_recall import compute_prec_recall
 
 
+def require_inception_optin(weights_npz: Optional[str], allow_random: bool,
+                            prog: str) -> None:
+    """Refuse to produce metrics from a random-init Inception unless the
+    caller opted in explicitly.
+
+    The reference always evaluates through the real downloaded OpenAI
+    frozen graph (reference evaluate_ddpm.py:84-106); in this image the
+    weights must be supplied as an npz (scripts/setup_real_inception.py).
+    Without them the extractor is deterministic-random-init — the metric
+    MACHINERY is exact but the absolute numbers are meaningless, so a
+    bare CLI run must not print something a user could mistake for real
+    FID.  Called before any model construction, so refusal is instant.
+    """
+    import os
+    import sys
+
+    if weights_npz or os.environ.get("INCEPTION_WEIGHTS_NPZ"):
+        return
+    if allow_random:
+        return
+    sys.exit(
+        f"{prog}: no real InceptionV3 weights available — refusing to "
+        "print FID/sFID/IS/precision/recall from a random-init extractor "
+        "(the numbers would not be comparable to anything). Pass "
+        "--inception-weights <npz> (export one with "
+        "scripts/setup_real_inception.py) or set INCEPTION_WEIGHTS_NPZ; "
+        "to exercise the metric machinery anyway, opt in with "
+        "--allow-random-inception.")
+
+
 def flatten_batches(arr: np.ndarray) -> np.ndarray:
     """(n_batches, B, H, W, C) -> (N, H, W, C); passthrough for 4-D."""
     arr = np.asarray(arr)

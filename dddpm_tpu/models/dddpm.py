@@ -37,7 +37,13 @@ def recon_capacity(batch: int, p: float) -> int:
     ~3e-5/step event at the reference recipe (B=32, p=0.1, cap 12) —
     falls back to the exact dense branch via lax.cond, so this bound is
     a performance knob, never a correctness one.
+
+    p is clamped to [0, 1]: CLI overrides can produce t_rec_max > T
+    (e.g. --T 50 with the default t_rec_max=100), where the gate is
+    always open and the dense path is correct (p=1 -> cap=batch, and
+    the caller's `cap < batch` check routes to the dense branch).
     """
+    p = min(1.0, max(0.0, p))
     cap = batch * p + 4.0 * math.sqrt(batch * p * (1.0 - p)) + 1.0
     cap = int(math.ceil(cap / 4.0)) * 4
     return min(batch, max(4, cap))
@@ -53,6 +59,14 @@ class DownsampleDiffusion(GaussianDiffusion):
       sample_shape: (H/2^n, W/2^n, unet_in) of latent space.
       t_rec_max: recon loss only applies where t < t_rec_max (-1 -> T-1).
       force_latent: tanh-squash both spaces into [-1, 1].
+      recon_compact: gather-compacted recon branch (autoencoder variant
+        only).  PRECONDITION: both resamplers must be deterministic
+        (d_dropout == 0) — the compact and dense branches evaluate the
+        resamplers on different batch shapes, so stochastic layers
+        (dropout) would draw different masks and the lax.cond overflow
+        fallback would silently change training behavior.  The factory
+        (`models/factory.py`) enforces this gate; direct constructors
+        must honor it themselves.
     """
 
     def __init__(

@@ -87,6 +87,15 @@ class Trainer:
         # FSDP-sharded over the data axis when config['fsdp'] is set
         self.mesh = create_mesh(config.get("mesh_shape"))
         self.use_fsdp = bool(config.get("fsdp", False))
+        # gather-compacted recon is a single-chip optimization: under a
+        # batch-sharded mesh the argsort/take compaction forces
+        # all-gathers of the image batch inside the step (HLO-verified,
+        # tests/test_recon_compact.py), and with the batch split 8 ways
+        # the per-device capacity ~= the local batch anyway — so the
+        # dense branch is both cheaper and collective-free there
+        if (getattr(self.process, "recon_compact", False)
+                and self.mesh.devices.size > 1):
+            self.process.recon_compact = False
         self.grad_accum = int(config.get("grad_accum", 2))
         self.tx = create_optimizer(config["lr"])
         state = create_train_state(config, init_fn, self.base_rng, self.tx)

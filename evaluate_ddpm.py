@@ -14,7 +14,7 @@ import numpy as np
 import jax
 
 from dddpm_tpu.data.pipeline import get_dataloader
-from dddpm_tpu.evaluation.evaluator import Evaluator
+from dddpm_tpu.evaluation.evaluator import Evaluator, require_inception_optin
 from dddpm_tpu.evaluation.helpers import compute_test_losses
 from dddpm_tpu.models.factory import build_model
 from dddpm_tpu.train import checkpoint as ckpt
@@ -39,7 +39,12 @@ def main():
     p.add_argument("--prec-recall-subset", type=int, default=None,
                    help="subsample the P/R manifold estimate to N features "
                         "(default: full set, matching the reference)")
+    p.add_argument("--allow-random-inception", action="store_true",
+                   help="compute FID/IS/P/R through a random-init Inception "
+                        "(machinery check only; numbers are NOT comparable)")
     args = p.parse_args()
+    require_inception_optin(args.inception_weights,
+                            args.allow_random_inception, "evaluate_ddpm")
 
     config = ckpt.load_config(args.checkpoint)
     if "unet_dims" in config:

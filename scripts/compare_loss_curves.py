@@ -191,6 +191,14 @@ def main():
                    default="cpu",
                    help="'default' runs the jax curves on the real "
                         "backend (TPU) with f32 HIGHEST precision")
+    p.add_argument("--side", choices=["both", "torch", "jax", "merge"],
+                   default="both",
+                   help="split execution: 'torch' / 'jax' run one side "
+                        "and write <out>.<side>.json (the data stream "
+                        "is deterministic per --steps, so sides can run "
+                        "at different times / on different backends); "
+                        "'merge' combines the two partials into the "
+                        "final report. 'both' (default) is single-shot.")
     args = p.parse_args()
     if args.jax_platform == "cpu":
         jax.config.update("jax_platforms", "cpu")
@@ -199,12 +207,41 @@ def main():
     torch_seeds = (args.seeds if args.torch_seeds is None
                    else args.torch_seeds)
 
-    stream = make_stream(args.steps)
-    print(f"running {args.steps} steps x{ACCUM} accum, bs {BS}, {SIZE}^2, "
-          f"jax seeds {args.seeds} (platform {args.jax_platform}), "
-          f"torch seeds {torch_seeds} ...")
-    tcs = [torch_curve(args.steps, stream, seed=s) for s in torch_seeds]
-    jcs = [jax_curve(args.steps, stream, seed=s) for s in args.seeds]
+    if args.side != "merge":
+        stream = make_stream(args.steps)
+        print(f"running {args.steps} steps x{ACCUM} accum, bs {BS}, "
+              f"{SIZE}^2, jax seeds {args.seeds} "
+              f"(platform {args.jax_platform}), "
+              f"torch seeds {torch_seeds}, side {args.side} ...")
+
+    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+    if args.side in ("both", "torch"):
+        tcs = [torch_curve(args.steps, stream, seed=s) for s in torch_seeds]
+        if args.side == "torch":
+            with open(args.out + ".torch.json", "w") as f:
+                json.dump({"steps": args.steps, "torch_seeds": torch_seeds,
+                           "torch_curves": tcs}, f)
+            print(f"wrote {args.out}.torch.json")
+            return
+    if args.side in ("both", "jax"):
+        jcs = [jax_curve(args.steps, stream, seed=s) for s in args.seeds]
+        if args.side == "jax":
+            with open(args.out + ".jax.json", "w") as f:
+                json.dump({"steps": args.steps, "seeds": args.seeds,
+                           "jax_platform": args.jax_platform,
+                           "jax_curves": jcs}, f)
+            print(f"wrote {args.out}.jax.json")
+            return
+    if args.side == "merge":
+        with open(args.out + ".torch.json") as f:
+            tpart = json.load(f)
+        with open(args.out + ".jax.json") as f:
+            jpart = json.load(f)
+        assert tpart["steps"] == jpart["steps"] == args.steps, \
+            "partial runs disagree on --steps"
+        tcs, torch_seeds = tpart["torch_curves"], tpart["torch_seeds"]
+        jcs, args.seeds = jpart["jax_curves"], jpart["seeds"]
+        args.jax_platform = jpart["jax_platform"]
     jc = np.mean(jcs, axis=0).tolist()
     tc = np.mean(tcs, axis=0).tolist()
 

@@ -89,22 +89,40 @@ def test_generate_and_evaluate_pipeline(workspace):
     ref = np.load(str(ws / "reference" / "synthetic_16.npy"))
     assert ref.shape == (2, 8, 8, 8, 3)
 
+    # without real Inception weights the evaluators must REFUSE to
+    # print metrics unless the random-init extractor is opted into
+    # (the reference always evaluates through real downloaded weights)
+    env = dict(os.environ, DDDPM_PLATFORM="cpu", PYTHONPATH=REPO)
+    env.pop("INCEPTION_WEIGHTS_NPZ", None)
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "evaluate_ddpm.py"),
+         "--checkpoint", ckpt,
+         "--samples", str(ws / "samples" / f"{name}.npy"),
+         "--reference", str(ws / "reference" / "synthetic_16.npy"),
+         "--skip-test-losses"],
+        cwd=str(ws), env=env, capture_output=True, text=True, timeout=300)
+    assert proc.returncode != 0
+    assert "--allow-random-inception" in proc.stderr
+    assert "fid" not in proc.stdout
+
     # evaluation (skip the slow full-chain VLB; FID machinery exercised)
     out = run_script(
         [os.path.join(REPO, "evaluate_ddpm.py"), "--checkpoint", ckpt,
          "--samples", str(ws / "samples" / f"{name}.npy"),
          "--reference", str(ws / "reference" / "synthetic_16.npy"),
-         "--skip-test-losses"],
+         "--skip-test-losses", "--allow-random-inception"],
         cwd=str(ws))
     metrics = json.loads(out[out.index("{"):])
     for key in ("is", "fid", "sfid", "precision", "recall"):
         assert key in metrics
+    assert metrics["inception_weights"] == "random-init"
 
     # dataset-vs-dataset comparison
     out = run_script(
         [os.path.join(REPO, "compare_datasets.py"),
          "--batch1", str(ws / "reference" / "synthetic_16.npy"),
-         "--batch2", str(ws / "reference" / "synthetic_16.npy")],
+         "--batch2", str(ws / "reference" / "synthetic_16.npy"),
+         "--allow-random-inception"],
         cwd=str(ws))
     metrics = json.loads(out[out.index("{"):])
     assert abs(metrics["fid"]) < 1e-3  # identical batches -> FID 0

@@ -50,6 +50,10 @@ def test_capacity_rule():
     assert recon_capacity(2, 0.5) == 2        # tiny batch -> dense
     assert recon_capacity(32, 1.0) == 32      # t_rec_max=-1 -> dense
     assert recon_capacity(192, 0.1) == 40
+    # p > 1 (t_rec_max > T via --T CLI override) clamps instead of
+    # raising a math domain error; gate-always-open == dense path
+    assert recon_capacity(32, 100 / 50) == 32
+    assert recon_capacity(32, -0.1) == 4      # degenerate, still valid
     for b in (8, 32, 192):
         for p in (0.05, 0.1, 0.5, 1.0):
             c = recon_capacity(b, p)
@@ -173,6 +177,57 @@ def test_compact_sharded_matches_dense_single_device(model):
     # tolerance as the DP-equivalence test in test_parallel.py); a
     # masking/gather bug would be O(1) relative
     _assert_tree_close(g1, g8, rtol=1e-3, atol=5e-5)
+
+
+@pytest.mark.slow
+def test_compact_gather_is_not_shard_local_hlo(model):
+    """Pin the HLO fact behind the trainer's mesh gate: under a
+    batch-sharded 8-device mesh the compact branch's argsort/take
+    forces all-gather collectives that the dense branch never emits
+    (the image batch is gathered across devices to build the compacted
+    sub-batch).  This is WHY compaction is a single-chip optimization."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from dddpm_tpu.parallel.mesh import create_mesh, replicated
+
+    proc, params, x = model
+    rng = jax.random.PRNGKey(11)
+    t = jnp.asarray(np.full((BATCH,), 10, np.int32))
+
+    mesh = create_mesh()
+    p8 = jax.device_put(params, replicated(mesh))
+    x8 = jax.device_put(x, NamedSharding(mesh, P("data")))
+    t8 = jax.device_put(t, NamedSharding(mesh, P("data")))
+
+    def compile_text(fn):
+        def obj(p, xx, tt):
+            o, _ = fn(p, rng, xx, tt, train=False)
+            return o
+
+        return (jax.jit(jax.value_and_grad(obj))
+                .lower(p8, x8, t8).compile().as_text())
+
+    compact_txt = compile_text(proc.losses)
+    dense_txt = compile_text(proc._losses_dense)
+    assert compact_txt.count("all-gather") > 0, (
+        "compact branch no longer emits all-gathers under a sharded "
+        "batch — if XLA now partitions the gather shard-locally, the "
+        "trainer's multi-device compaction gate can be removed")
+    assert dense_txt.count("all-gather") == 0
+    assert dense_txt.count("all-to-all") == 0
+
+
+def test_trainer_gates_compaction_on_multidevice_mesh(tmp_path):
+    """The trainer (8-device CPU mesh in tests) must run the dense
+    branch even when the factory enabled compaction."""
+    from dddpm_tpu.train.trainer import setup_trainer
+
+    cfg = dict(CFG)
+    cfg.update({"dataset": "synthetic", "batch_size": 8, "n_steps": 1,
+                "lr": 1e-3, "ema_decay": 0.995, "val_split": 0,
+                "rnd_flip": False, "grad_accum": 2})
+    trainer, _ = setup_trainer(cfg, mute=True, workdir=str(tmp_path))
+    assert trainer.mesh.devices.size > 1
+    assert trainer.process.recon_compact is False
 
 
 def test_factory_gates_compaction():
