@@ -28,7 +28,11 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 def run(args, cwd, timeout=3600):
     env = dict(os.environ)
-    env["PYTHONPATH"] = REPO
+    # APPEND to PYTHONPATH, never clobber: the image loads the axon TPU
+    # PJRT plugin via a sitecustomize on the inherited PYTHONPATH
+    # (/root/.axon_site); overwriting it leaves JAX_PLATFORMS=axon
+    # pointing at an unregistered backend and every jnp call raises
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
     env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_tpu_cache")
     t0 = time.time()
     proc = subprocess.run([sys.executable] + args, cwd=cwd, env=env,
@@ -43,11 +47,20 @@ def run(args, cwd, timeout=3600):
 def train_run(ws, steps, seed=0):
     d = os.path.join(ws, f"train_{steps}")
     os.makedirs(d, exist_ok=True)
+    ckpt_root = os.path.join(d, "results/checkpoints")
+    # resume support: a prior interrupted invocation may have finished
+    # this training leg — reuse its checkpoint if the losses run to
+    # the requested step count, so a relaunch only redoes what's missing
+    if os.path.isdir(ckpt_root):
+        for c in os.listdir(ckpt_root):
+            lf = os.path.join(ckpt_root, c, "train_losses.json")
+            if os.path.exists(lf) and len(json.load(open(lf))) >= steps:
+                print(f"  (reusing completed train_{steps} checkpoint)")
+                return os.path.join(ckpt_root, c), json.load(open(lf))
     run([os.path.join(REPO, "train.py"), "-d", "synthetic", "-e", str(steps),
          "-bs", "32", "-is", "32", "-mute", "--T", "1000",
          "--seed", str(seed)], cwd=d)
-    ckpts = [os.path.join(d, "results/checkpoints", c)
-             for c in os.listdir(os.path.join(d, "results/checkpoints"))]
+    ckpts = [os.path.join(ckpt_root, c) for c in os.listdir(ckpt_root)]
     assert len(ckpts) == 1, ckpts
     losses = json.load(open(os.path.join(ckpts[0], "train_losses.json")))
     return ckpts[0], losses

@@ -20,7 +20,9 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 def run_script(args, cwd, extra_env=None, timeout=1200):
     env = dict(os.environ)
     env["DDDPM_PLATFORM"] = "cpu"
-    env["PYTHONPATH"] = REPO
+    # append, never clobber: the axon TPU plugin loads via a
+    # sitecustomize on the inherited PYTHONPATH (/root/.axon_site)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
     env["JAX_COMPILATION_CACHE_DIR"] = "/tmp/jax_test_cache"
     if extra_env:
         env.update(extra_env)
@@ -92,7 +94,8 @@ def test_generate_and_evaluate_pipeline(workspace):
     # without real Inception weights the evaluators must REFUSE to
     # print metrics unless the random-init extractor is opted into
     # (the reference always evaluates through real downloaded weights)
-    env = dict(os.environ, DDDPM_PLATFORM="cpu", PYTHONPATH=REPO)
+    env = dict(os.environ, DDDPM_PLATFORM="cpu",
+               PYTHONPATH=REPO + os.pathsep + os.environ.get("PYTHONPATH", ""))
     env.pop("INCEPTION_WEIGHTS_NPZ", None)
     proc = subprocess.run(
         [sys.executable, os.path.join(REPO, "evaluate_ddpm.py"),
