@@ -39,21 +39,57 @@ def _conv(features, in_features, kernel, stride=1, pad=None, dtype=jnp.float32,
     )
 
 
+def _cubic_kernel(x, a: float = -0.75):
+    """Cubic convolution kernel (Keys), the a=-0.75 variant torch uses."""
+    ax = abs(x)
+    if ax <= 1.0:
+        return (a + 2.0) * ax ** 3 - (a + 3.0) * ax ** 2 + 1.0
+    if ax < 2.0:
+        return a * ax ** 3 - 5.0 * a * ax ** 2 + 8.0 * a * ax - 4.0 * a
+    return 0.0
+
+
+def _bicubic_ac_matrix(in_size: int, out_size: int):
+    """Dense (out, in) 1-D resampling matrix reproducing torch
+    F.interpolate(mode='bicubic', align_corners=True) exactly along one
+    axis (reference 'deterministic' mode, convblocks.py:8-26): source
+    coordinate out_i * (in-1)/(out-1), 4 cubic taps (a=-0.75), border
+    handled by index clamping.  Applying the H and W matrices as two
+    contractions keeps the op MXU-shaped instead of a gather."""
+    import numpy as np
+
+    m = np.zeros((out_size, in_size), dtype=np.float64)
+    scale = 0.0 if out_size == 1 else (in_size - 1) / (out_size - 1)
+    for i in range(out_size):
+        src = i * scale
+        x0 = int(np.floor(src))
+        t = src - x0
+        for k in range(4):
+            idx = min(max(x0 - 1 + k, 0), in_size - 1)
+            m[i, idx] += _cubic_kernel(t + 1.0 - k)
+    return jnp.asarray(m, dtype=jnp.float32)
+
+
 class Interpolate(nn.Module):
     """Deterministic bicubic resize to a fixed spatial size.
 
-    The reference uses torch F.interpolate(mode='bicubic',
-    align_corners=True); jax.image.resize uses half-pixel centers — the
-    standard TPU-native resize. Distribution-level equivalent for the
-    'deterministic' mode's purpose.
+    Exact parity with the reference's torch F.interpolate(
+    mode='bicubic', align_corners=True) (convblocks.py:8-26,
+    wrapper.py:22-24,49-53), implemented as two precomputed dense
+    contractions (H then W) rather than per-pixel gathers — the
+    matrices are tiny and the contractions map onto the MXU.
+    Pinned against torch directly in tests/test_dddpm.py.
     """
 
     size: Tuple[int, int]
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
-        b, _, _, c = x.shape
-        return jax.image.resize(x, (b, *self.size, c), method="cubic")
+        _, h, w, _ = x.shape
+        mh = _bicubic_ac_matrix(h, self.size[0])
+        mw = _bicubic_ac_matrix(w, self.size[1])
+        x = jnp.einsum("Hh,bhwc->bHwc", mh, x)
+        return jnp.einsum("Ww,bhwc->bhWc", mw, x)
 
 
 class SimpleDownConv(nn.Module):

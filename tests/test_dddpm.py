@@ -67,6 +67,32 @@ def test_interpolate_shapes():
     np.testing.assert_allclose(np.asarray(out), 1.0, atol=1e-5)
 
 
+@pytest.mark.parametrize("in_hw,out_hw", [
+    ((16, 16), (8, 8)),    # the x1 'deterministic' downsample path
+    ((8, 8), (16, 16)),    # the matching upsample path
+    ((7, 5), (5, 9)),      # non-square, odd, mixed up/down per axis
+    ((4, 4), (1, 1)),      # out==1 edge case (scale collapses to 0)
+    ((1, 3), (5, 7)),      # in==1: all taps clamp to the single row
+])
+def test_interpolate_matches_torch_bicubic_align_corners(in_hw, out_hw):
+    """Exact parity with the reference's deterministic resample:
+    F.interpolate(mode='bicubic', align_corners=True)
+    (/root/reference/models/downsampled/convblocks.py:8-26)."""
+    torch = pytest.importorskip("torch")
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((2, *in_hw, 3)).astype(np.float32)
+    mod = Interpolate(size=out_hw)
+    p = mod.init(jax.random.PRNGKey(0), jnp.zeros((1, *in_hw, 3)))
+    ours = np.asarray(mod.apply(p, jnp.asarray(x)))
+
+    xt = torch.from_numpy(x).permute(0, 3, 1, 2)  # NHWC -> NCHW
+    theirs = torch.nn.functional.interpolate(
+        xt, size=out_hw, mode="bicubic", align_corners=True)
+    theirs = theirs.permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(ours, theirs, rtol=1e-5, atol=1e-5)
+
+
 CFG = {
     "model": "dddpm", "dataset": "mnist", "image_size": 16,
     "T": 20, "loss_type": "simple", "beta_schedule": "cosine",
