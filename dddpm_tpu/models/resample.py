@@ -88,8 +88,9 @@ class Interpolate(nn.Module):
         _, h, w, _ = x.shape
         mh = _bicubic_ac_matrix(h, self.size[0])
         mw = _bicubic_ac_matrix(w, self.size[1])
-        x = jnp.einsum("Hh,bhwc->bHwc", mh, x)
-        return jnp.einsum("Ww,bhwc->bhWc", mw, x)
+        # accumulate in f32, return in the caller's dtype (bf16 configs)
+        y = jnp.einsum("Hh,bhwc->bHwc", mh, x.astype(jnp.float32))
+        return jnp.einsum("Ww,bhwc->bhWc", mw, y).astype(x.dtype)
 
 
 class SimpleDownConv(nn.Module):
