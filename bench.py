@@ -40,8 +40,9 @@ REFERENCE_X3 = 192.0 / 28.0             # dDDPM x3
 REFERENCE_X4 = 192.0 / 14.0             # dDDPM x4
 
 
-def _sample_config(batch_size: int, n_downsamples: int = 1) -> dict:
-    return {
+def _sample_config(batch_size: int, n_downsamples: int = 1,
+                   conv_quant=None) -> dict:
+    cfg = {
         "model": "dddpm", "dataset": "celeba_hq", "image_size": 256,
         "batch_size": batch_size, "T": 1000, "loss_type": "simple",
         "beta_schedule": "linear", "loss_flat": "sum",
@@ -52,6 +53,9 @@ def _sample_config(batch_size: int, n_downsamples: int = 1) -> dict:
         "ae_loss": True, "t_rec_max": 100, "force_latent": True,
         "compute_dtype": "bfloat16",
     }
+    if conv_quant:
+        cfg["conv_quant"] = conv_quant
+    return cfg
 
 
 def _enable_compile_cache():
@@ -77,7 +81,7 @@ def _auto_segments(batch_size: int, n_downsamples: int = 1) -> int:
     return max(1, int(est_rep_s / 30) + 1)
 
 
-def run_sampling(batch_size: int, n_downsamples: int = 1):
+def run_sampling(batch_size: int, n_downsamples: int = 1, conv_quant=None):
     import jax
 
     _enable_compile_cache()
@@ -86,8 +90,18 @@ def run_sampling(batch_size: int, n_downsamples: int = 1):
     from dddpm_tpu.sample import make_bulk_sampler
 
     net, process, init_fn, config = build_model(
-        _sample_config(batch_size, n_downsamples))
+        _sample_config(batch_size, n_downsamples, conv_quant))
     params = init_fn(jax.random.PRNGKey(0))
+    if conv_quant:
+        # fixed unit activation scales instead of a calibration run:
+        # the scale VALUE is a scalar multiplier in the compiled graph
+        # — it cannot change throughput, and the bench's weights are
+        # random-init anyway (as for every config). Real serving
+        # calibrates via generate_model_samples.py --quant-conv.
+        import jax.numpy as jnp
+
+        params = dict(params)
+        params["quant"] = jax.tree.map(jnp.ones_like, params["quant"])
     mesh = create_mesh()
     segments = int(os.environ.get("BENCH_SEGMENTS", "0")) or _auto_segments(
         batch_size, n_downsamples)
@@ -149,11 +163,14 @@ def run_train(batch_size: int, iters: int = 8):
 
 
 def emit(mode: str, batch_size: int):
-    if mode in ("--run", "--run-x3", "--run-x4"):
-        n_down = {"--run": 1, "--run-x3": 3, "--run-x4": 4}[mode]
+    if mode in ("--run", "--run-x3", "--run-x4", "--run-int8"):
+        n_down = {"--run": 1, "--run-x3": 3, "--run-x4": 4,
+                  "--run-int8": 1}[mode]
         ref = {"--run": REFERENCE_IMGS_PER_SEC, "--run-x3": REFERENCE_X3,
-               "--run-x4": REFERENCE_X4}[mode]
-        reps, n_chips = run_sampling(batch_size, n_down)
+               "--run-x4": REFERENCE_X4,
+               "--run-int8": REFERENCE_IMGS_PER_SEC}[mode]
+        quant = "int8" if mode == "--run-int8" else None
+        reps, n_chips = run_sampling(batch_size, n_down, conv_quant=quant)
         per_chip = [r / n_chips for r in reps]
         # trimmed mean (drop min and max when >=4 reps): the tunnel
         # occasionally produces a single cold rep ~17% low; all raw
@@ -163,12 +180,16 @@ def emit(mode: str, batch_size: int):
         value = sum(kept) / len(kept)
         spread = (max(kept) - min(kept)) / 2
         xn = {1: "x2", 3: "x3", 4: "x4"}[n_down]
+        numerics = ("W8A8 int8-quantized convs (opt-in serving mode), "
+                    if quant else "bf16, ")
         print(json.dumps({
-            "metric": f"dDDPM_{xn}_256px_sampling_imgs_per_sec_per_chip",
+            "metric": (f"dDDPM_{xn}_256px_sampling"
+                       + ("_int8" if quant else "")
+                       + "_imgs_per_sec_per_chip"),
             "value": round(value, 4),
             "unit": f"imgs/sec/chip (1000-step reverse chain, bs {batch_size}, "
-                    f"bf16, fused attention; trimmed mean of {len(reps)} reps, "
-                    f"±{spread:.4f})",
+                    f"{numerics}fused attention; trimmed mean of {len(reps)} "
+                    f"reps, ±{spread:.4f})",
             "vs_baseline": round(value / ref, 4),
             "reps": [round(v, 4) for v in per_chip],
         }))
@@ -265,7 +286,7 @@ def _subprocess_attempts(mode: str, start_batch: int, deadline: float,
 
 def main():
     if len(sys.argv) > 2 and sys.argv[1] in (
-            "--run", "--run-x3", "--run-x4", "--train-run"):
+            "--run", "--run-x3", "--run-x4", "--run-int8", "--train-run"):
         emit(sys.argv[1], int(sys.argv[2]))
         return
 
@@ -299,6 +320,8 @@ def main():
     # budget for roughly one headline-scale run (compile-dominated
     # when cold), and each success re-prints the full enriched record
     extras = [
+        ("--run-int8", "x2_int8_sampling",
+         int(os.environ.get("BENCH_BATCH", "96"))),
         ("--train-run", "train",
          int(os.environ.get("BENCH_TRAIN_BATCH", "32"))),
         ("--run-x3", "x3_sampling",

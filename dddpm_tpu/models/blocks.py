@@ -17,6 +17,11 @@ from flax import linen as nn
 
 from dddpm_tpu.ops.convt import conv_transpose_2x_subpixel
 from dddpm_tpu.ops.math import mish
+from dddpm_tpu.ops.quant import (
+    int8_conv,
+    observed_amax,
+    quant_conv_wins,
+)
 from dddpm_tpu.models.init import (
     bias_init_for,
     conv_kernel_init,
@@ -121,11 +126,19 @@ class Conv3x3Params(nn.Module):
 
     The UNet's expansive path feeds every level a (C + C)-channel
     concat; splitting saves the concat tensor's HBM round trip
-    (measured 6.34 -> 5.78 ms at 64^2 c256+256 bs 96)."""
+    (measured 6.34 -> 5.78 ms at 64^2 c256+256 bs 96).
+
+    With quant='int8' (the opt-in SERVING mode, ops/quant.py), conv
+    sites whose shape class measured faster in s8 run as W8A8 quantized
+    convs with calibrated per-tensor activation scales held in the
+    flax "quant" collection; applying with mutable=["quant"] runs the
+    calibration update.  Forward-only — no quantized VJP."""
 
     features: int
     in_features: int
     dtype: jnp.dtype = jnp.float32
+    stride: int = 1
+    quant: Optional[str] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray,
@@ -137,6 +150,7 @@ class Conv3x3Params(nn.Module):
             "bias", bias_init_for(9 * self.in_features), (self.features,))
         dn = ("NHWC", "HWIO", "NHWC")
         k = kernel.astype(x.dtype)
+        st = (self.stride, self.stride)
 
         # no preferred_element_type: TPU convs accumulate f32 in the
         # MXU regardless, nn.Conv does the same, and mixed
@@ -144,9 +158,28 @@ class Conv3x3Params(nn.Module):
         # transposed conv gets mismatched dtypes)
         def conv(v, w):
             return jax.lax.conv_general_dilated(
-                v, w, (1, 1), ((1, 1), (1, 1)), dimension_numbers=dn)
+                v, w, st, ((1, 1), (1, 1)), dimension_numbers=dn)
 
-        if skip is None:
+        def qconv(v, w, amax_name):
+            """int8 path for one operand; falls back to bf16 where the
+            shape gate says quantization measured slower."""
+            if not (self.quant == "int8" and quant_conv_wins(
+                    3, v.shape[1], v.shape[-1], w.shape[-1], self.stride)):
+                return conv(v, w.astype(v.dtype)).astype(jnp.float32)
+            var = self.variable("quant", amax_name,
+                                lambda: jnp.zeros((), jnp.float32))
+            if self.is_mutable_collection("quant"):
+                var.value = observed_amax(v, var.value)
+            return int8_conv(v, w, var.value, stride=st)
+
+        if self.quant == "int8":
+            if skip is None:
+                y = qconv(x, kernel, "amax_x")
+            else:
+                y = (qconv(x, kernel[:, :, :x.shape[-1]], "amax_x")
+                     + qconv(skip, kernel[:, :, x.shape[-1]:], "amax_skip"))
+            y = y.astype(x.dtype)
+        elif skip is None:
             y = conv(x, k)
         else:
             cx = x.shape[-1]
@@ -165,11 +198,13 @@ class Block(nn.Module):
     dim_out: int
     groups: int = 8
     dtype: jnp.dtype = jnp.float32
+    quant: Optional[str] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray,
                  skip: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         x = Conv3x3Params(self.dim_out, self.dim, dtype=self.dtype,
+                          quant=self.quant,
                           name="Conv_0")(x.astype(self.dtype), skip)
         # GroupNorm statistics in f32 for stability
         x = nn.GroupNorm(num_groups=self.groups, epsilon=1e-5,
@@ -185,6 +220,7 @@ class ResnetBlock(nn.Module):
     groups: int = 8
     dropout: float = 0.0
     dtype: jnp.dtype = jnp.float32
+    quant: Optional[str] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, time_emb: jnp.ndarray,
@@ -195,7 +231,7 @@ class ResnetBlock(nn.Module):
         (Block 1's 3x3 and the residual 1x1) split their kernels
         instead of materializing the concat (see Conv3x3Params)."""
         h = Block(self.dim, self.dim_out, self.groups,
-                  dtype=self.dtype)(x, skip=skip)
+                  dtype=self.dtype, quant=self.quant)(x, skip=skip)
 
         # time-emb projected through Mish -> Dense, added as channel bias
         t = nn.Dense(self.dim_out, kernel_init=dense_kernel_init,
@@ -204,7 +240,8 @@ class ResnetBlock(nn.Module):
         h = h + t[:, None, None, :].astype(self.dtype)
 
         h = nn.Dropout(rate=self.dropout)(h, deterministic=deterministic)
-        h = Block(self.dim_out, self.dim_out, self.groups, dtype=self.dtype)(h)
+        h = Block(self.dim_out, self.dim_out, self.groups, dtype=self.dtype,
+                  quant=self.quant)(h)
 
         in_dim = self.dim if skip is None else x.shape[-1] + skip.shape[-1]
         assert in_dim == self.dim, (in_dim, self.dim)
@@ -323,7 +360,10 @@ class PreNormLinearAttention(nn.Module):
 
 
 class Downsample(nn.Module):
-    """Strided conv3x3 halving spatial dims."""
+    """Strided conv3x3 halving spatial dims.
+
+    Stays bf16 even under quant='int8': strided int8 convs measured
+    neutral-to-negative (ops/quant.py quant_conv_wins)."""
 
     dim: int
     dtype: jnp.dtype = jnp.float32

@@ -15,7 +15,7 @@ params/GroupNorm statistics, time embedding in f32.
 """
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import jax.numpy as jnp
 from flax import linen as nn
@@ -58,11 +58,19 @@ class Unet(nn.Module):
     dtype: jnp.dtype = jnp.float32
     use_pallas: bool = False
     remat: bool = False
+    # opt-in W8A8 serving mode (ops/quant.py): None | "int8".  Conv
+    # sites whose shape class measured faster in s8 run quantized with
+    # calibrated activation scales from the flax "quant" collection.
+    # Sampling/serving only — the quantized path has no VJP.
+    quant_conv: Optional[str] = None
 
     @classmethod
     def from_config(cls, config: dict) -> "Unet":
         dtype = jnp.bfloat16 if config.get("compute_dtype") == "bfloat16" else jnp.float32
         use_pallas = resolve_use_pallas(config)
+        quant = config.get("conv_quant") or None
+        if quant not in (None, "int8"):
+            raise ValueError(f"conv_quant must be 'int8' or unset, got {quant!r}")
         return cls(
             dim=config["unet_chan"],
             in_channels=config["unet_in"],
@@ -71,6 +79,7 @@ class Unet(nn.Module):
             dtype=dtype,
             use_pallas=bool(use_pallas),
             remat=bool(config.get("remat", False)),
+            quant_conv=quant,
         )
 
     @nn.compact
@@ -91,7 +100,8 @@ class Unet(nn.Module):
         rb_idx = [0]
 
         def RB(*args, **kwargs):
-            mod = rb_cls(*args, **kwargs, name=f"ResnetBlock_{rb_idx[0]}")
+            mod = rb_cls(*args, **kwargs, quant=self.quant_conv,
+                         name=f"ResnetBlock_{rb_idx[0]}")
             rb_idx[0] += 1
             return mod
 
@@ -135,7 +145,8 @@ class Unet(nn.Module):
             x = Upsample(dim_in, dtype=self.dtype)(x)
 
         # final Block + 1x1 projection back to input channels
-        x = Block(self.dim, self.dim, dtype=self.dtype)(x)
+        x = Block(self.dim, self.dim, dtype=self.dtype,
+                  quant=self.quant_conv)(x)
         x = conv1x1(self.in_channels, self.dim, dtype=self.dtype,
                     name="final_conv")(x)
         return x.astype(orig_dtype)

@@ -45,6 +45,19 @@ def main():
                         "device program would exceed the runtime's "
                         "wall-clock limit, e.g. axon kills programs "
                         "over ~45-65 s)")
+    p.add_argument("--quant-conv", default="none", choices=["none", "int8"],
+                   help="opt-in W8A8 quantized conv serving mode "
+                        "(ops/quant.py): conv sites whose shape class "
+                        "measured faster in s8 on the TPU run quantized "
+                        "with calibrated activation scales. Changes "
+                        "numerics (int8 rounding); default off")
+    p.add_argument("--quant-calib", default="trajectory",
+                   choices=["trajectory", "noise"],
+                   help="activation-scale calibration: 'trajectory' runs "
+                        "a small bf16 reverse chain and observes real "
+                        "chain states (quality-bearing default); 'noise' "
+                        "observes N(0,1) latents only (cheap bootstrap)")
+    p.add_argument("--quant-calib-batch", type=int, default=4)
     p.add_argument("--prng-impl", default="threefry2x32",
                    choices=["rbg", "threefry2x32"],
                    help="PRNG for sampling noise. threefry (default) is "
@@ -68,6 +81,21 @@ def main():
         jax.random.PRNGKey(0))
     state = ckpt.restore_checkpoint(args.checkpoint, abstract)
     params = state.ema_params if config.get("ema_decay", 0) > 0 else state.params
+
+    if args.quant_conv != "none":
+        # rebuild with the quantized conv path and calibrate activation
+        # scales for THIS checkpoint (the restore above used the
+        # as-trained model, whose param tree the checkpoint matches)
+        from dddpm_tpu.quantize import maybe_calibrate
+
+        config["conv_quant"] = args.quant_conv
+        net, process, init_fn, config = build_model(config)
+        params = maybe_calibrate(
+            config, net, process, dict(params),
+            jax.random.PRNGKey(args.seed + 1),
+            batch_size=args.quant_calib_batch, mode=args.quant_calib)
+        print(f"conv_quant={args.quant_conv}: activation scales "
+              f"calibrated ({args.quant_calib} mode)")
 
     mesh = create_mesh()
     params = replicate(params, mesh)
